@@ -1,0 +1,715 @@
+"""The counting quotient filter, rebuilt numpy-first for Spark partitions.
+
+Same logical structure as the reference (occupieds/runends bitvectors,
+quotienting of the hash into home slot + remainder, variable-length embedded
+counters, Robin-Hood-packed runs — include/gqf_int.h:38-58, src/gqf.c):
+one sketch is an approximate multiset of ``(key, value, count)`` with
+no false negatives and FP rate <= 2^-r at 95% load.
+
+The *physical* strategy differs deliberately (SURVEY.md §4.3): because Spark
+hands each partition's rows to us as whole Arrow batches, every mutation is a
+**vectorized bulk rebuild** — sort the (hash, count) multiset, encode
+counters, lay runs out left-to-right with the canonical first-fit rule that
+incremental inserts converge to — instead of the reference's per-key slot
+shifting (src/gqf.c:662-1022).  The resulting layout is a pure function of
+the stored multiset, which makes serialization **canonical**: any merge
+order yields bit-identical bytes (the reference's merge-associativity
+property, src/gqf.c:2432-2544, strengthened).
+
+No per-row Python anywhere on the hot path; loops are only over digit
+positions / automaton steps (O(log count), O(max run length)).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import CqfConfig, CqfGeometry, HashMode
+from .functions import bitpack
+from .functions.counter import decode_runs, encode_counters
+from .functions.hashing import hash_64, hash_64i, murmur64a_u64
+
+_U64 = np.uint64
+
+MAGIC = 0x50594351_46534B31  # "PYCQFSK1" — our wire format, not the
+# reference's mmap image (MAGIC_NUMBER include/gqf_int.h:23); layout is
+# columnar (offsets | occupieds | runends | packed slots) rather than
+# per-block interleaved, same information + footprint.
+_WIRE_VERSION = 1
+_HEADER = struct.Struct("<QBBBBIQQQQ")  # magic, ver, mode, key_bits,
+# value_bits, seed, qbits, nelts, ndistinct, noccupied
+
+LOAD_FACTOR = 0.95  # reference capacity gate (src/gqf.c:1902-1914)
+DISTANCE_FROM_HOME_SLOT_CUTOFF = 1000  # src/gqf.c:45, 1933-1958
+
+
+class NoSpaceError(RuntimeError):
+    """QF_NO_SPACE analog (include/gqf.h:76): sketch too small for content."""
+
+
+def hash_keys(keys: np.ndarray, config: CqfConfig) -> np.ndarray:
+    """Map raw uint64 keys into the hash universe [0, 2**key_bits).
+
+    Mode dispatch mirrors src/gqf.c:1918-1924; range is a power of two so
+    ``% range`` == masking.  NONE-mode keys are masked for safety (the
+    reference would read out of bounds on an oversized pre-hash).
+    """
+    k = np.ascontiguousarray(keys, dtype=np.uint64)
+    mask = _U64(config.range - 1) if config.key_bits < 64 else _U64(0xFFFFFFFFFFFFFFFF)
+    if config.hash_mode == HashMode.DEFAULT:
+        return murmur64a_u64(k, config.seed) & mask
+    if config.hash_mode == HashMode.INVERTIBLE:
+        return hash_64(k & mask, int(mask))
+    return k & mask
+
+
+def unhash_keys(hashes: np.ndarray, config: CqfConfig) -> np.ndarray:
+    """Recover keys from INVERTIBLE-mode hashes (src/gqf.c:2327-2341)."""
+    if config.hash_mode != HashMode.INVERTIBLE:
+        raise ValueError("keys are only recoverable in INVERTIBLE mode "
+                         "(qfi_get_key returns QF_INVALID otherwise)")
+    mask = (1 << config.key_bits) - 1
+    return hash_64i(hashes, mask)
+
+
+@dataclass
+class _Decoded:
+    hashes: np.ndarray       # uint64, ascending — full (key<<vb)|value hashes
+    counts: np.ndarray       # uint64
+    slot_index: np.ndarray   # int64 — first slot of each counter encoding
+
+
+class Cqf:
+    """One counting-quotient-filter sketch (single partition's worth).
+
+    Content state is the multiset {(hash, count)}; physical state is the
+    canonical block layout derived from it.  All public mutators go through
+    :meth:`_rebuild`, keeping serialization canonical.
+    """
+
+    def __init__(
+        self,
+        config: CqfConfig,
+        qbits: int,
+        *,
+        _hashes: np.ndarray | None = None,
+        _counts: np.ndarray | None = None,
+    ) -> None:
+        self.config = config
+        self.geom: CqfGeometry = config.geometry(qbits)
+        self._decoded: _Decoded | None = None
+        h = _hashes if _hashes is not None else np.empty(0, dtype=np.uint64)
+        c = _counts if _counts is not None else np.empty(0, dtype=np.uint64)
+        self._rebuild(h, c)
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def empty(cls, config: CqfConfig, qbits: int) -> "Cqf":
+        """qf_init analog (src/gqf.c:1617-1701)."""
+        return cls(config, qbits)
+
+    @classmethod
+    def from_hashes(
+        cls,
+        config: CqfConfig,
+        hashes: np.ndarray,
+        counts: np.ndarray | None = None,
+        qbits: int | None = None,
+        auto_resize: bool = True,
+    ) -> "Cqf":
+        """Bulk-build from in-universe hashes (QF_KEY_IS_HASH path).
+
+        ``counts`` defaults to 1 per row; duplicate hashes aggregate.  If the
+        sketch overflows the 95% load rule the quotient doubles and the build
+        retries — the vectorized analog of auto-resize (src/gqf.c:1902-1914,
+        1819-1889).
+        """
+        h = np.ascontiguousarray(hashes, dtype=np.uint64)
+        if counts is None:
+            hu, cu = np.unique(h, return_counts=True)
+            cu = cu.astype(np.uint64)
+        else:
+            c = np.ascontiguousarray(counts, dtype=np.uint64)
+            order = np.argsort(h, kind="stable")
+            hs, cs = h[order], c[order]
+            boundaries = np.empty(hs.size, dtype=bool)
+            if hs.size:
+                boundaries[0] = True
+                boundaries[1:] = hs[1:] != hs[:-1]
+            starts = np.flatnonzero(boundaries)
+            hu = hs[starts]
+            cu = np.add.reduceat(cs, starts) if hs.size else cs
+        if qbits is None:
+            qbits = config.qbits_for(int(hu.size))
+        while True:
+            try:
+                return cls(config, qbits, _hashes=hu, _counts=cu)
+            except NoSpaceError:
+                if not auto_resize:
+                    raise
+                if qbits >= config.key_bits - 2:
+                    raise
+                qbits += 1
+
+    @classmethod
+    def from_keys(
+        cls,
+        config: CqfConfig,
+        keys: np.ndarray,
+        counts: np.ndarray | None = None,
+        values: np.ndarray | None = None,
+        qbits: int | None = None,
+        auto_resize: bool = True,
+    ) -> "Cqf":
+        """qf_insert-equivalent bulk build from raw keys (src/gqf.c:1899-1960):
+        hash per mode, pack value bits, aggregate, build."""
+        h = hash_keys(keys, config)
+        if config.value_bits:
+            vmask = _U64((1 << config.value_bits) - 1)
+            v = (
+                np.zeros(h.size, dtype=np.uint64)
+                if values is None
+                else np.ascontiguousarray(values, dtype=np.uint64) & vmask
+            )
+            h = (h << _U64(config.value_bits)) | v
+        return cls.from_hashes(config, h, counts, qbits, auto_resize)
+
+    # ------------------------------------------------------------------ #
+    # canonical bulk layout (SURVEY.md §4.3)
+    # ------------------------------------------------------------------ #
+
+    def _rebuild(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        """Lay out the multiset: runs in quotient order, remainders ascending
+        within a run (the invariant incremental inserts maintain,
+        src/gqf.c:1244-1264), each run at max(home_slot, prev_end + 1)."""
+        geom = self.geom
+        bps = geom.bits_per_slot
+        keep = counts > 0
+        if not keep.all():
+            hashes, counts = hashes[keep], counts[keep]
+        n = hashes.size
+
+        self.nelts = int(counts.sum())
+        self.ndistinct = n
+        self._decoded = None
+
+        if n == 0:
+            self.noccupied = 0
+            self.slots = np.zeros(geom.total_slots, dtype=bitpack.slot_dtype(bps))
+            self.occ_pos = np.empty(0, dtype=np.int64)
+            self.runend_pos = np.empty(0, dtype=np.int64)
+            self.offsets = np.zeros(geom.nblocks, dtype=np.uint8)
+            self.max_displacement = 0
+            return
+
+        quotients = (hashes >> _U64(bps)).astype(np.int64)
+        remainders = hashes & _U64((1 << bps) - 1)
+        if int(quotients[-1]) >= geom.nslots:
+            raise ValueError("hash outside universe for this geometry")
+
+        flat, lengths = encode_counters(remainders, counts, bps)
+
+        # group counters into runs by quotient
+        run_breaks = np.empty(n, dtype=bool)
+        run_breaks[0] = True
+        run_breaks[1:] = quotients[1:] != quotients[:-1]
+        run_first = np.flatnonzero(run_breaks)
+        run_quot = quotients[run_first]
+        run_len = np.add.reduceat(lengths, run_first)
+
+        # placement scan: ends[i] = max(q_i + L_i - 1, ends[i-1] + L_i)
+        #  => ends = cumsum(L) + running-max(q_i - cumsum(L)_{i-1} - 1)
+        csum = np.cumsum(run_len)
+        ends = csum + np.maximum.accumulate(run_quot - (csum - run_len) - 1)
+        starts = ends - run_len + 1
+
+        total_used = int(run_len.sum())
+        if total_used > int(LOAD_FACTOR * geom.nslots):
+            raise NoSpaceError(
+                f"{total_used} occupied slots > 95% of {geom.nslots}"
+            )
+        if int(ends[-1]) >= geom.total_slots:
+            raise NoSpaceError("run placement overflows the xnslots runway")
+        self.max_displacement = int((starts - run_quot).max())
+        if self.max_displacement > DISTANCE_FROM_HOME_SLOT_CUTOFF:
+            raise NoSpaceError(
+                "home-slot displacement exceeds cutoff (src/gqf.c:45)"
+            )
+
+        # physical arrays
+        slots = np.zeros(geom.total_slots, dtype=bitpack.slot_dtype(bps))
+        intra = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], csum[:-1])), run_len
+        )
+        slots[np.repeat(starts, run_len) + intra] = flat.astype(slots.dtype)
+
+        self.slots = slots
+        self.occ_pos = run_quot
+        self.runend_pos = ends
+        self.noccupied = total_used
+
+        # per-block offsets: offset[b] = clamp(run_end(64b-1) - (64b-1), 0, 255)
+        # (saturating uint8 cache, include/gqf_int.h:41, src/gqf.c:554-565)
+        boundary = np.arange(1, geom.nblocks, dtype=np.int64) * 64 - 1
+        j = np.searchsorted(run_quot, boundary, side="right") - 1
+        spill = np.zeros(boundary.size, dtype=np.int64)
+        valid = j >= 0
+        spill[valid] = np.maximum(ends[j[valid]] - boundary[valid], 0)
+        self.offsets = np.zeros(geom.nblocks, dtype=np.uint8)
+        self.offsets[1:] = np.minimum(spill, 255).astype(np.uint8)
+
+    # ------------------------------------------------------------------ #
+    # decode / iterate (src/gqf.c:2191-2419)
+    # ------------------------------------------------------------------ #
+
+    def _decode(self) -> _Decoded:
+        if self._decoded is None:
+            if self.occ_pos.size == 0:
+                self._decoded = _Decoded(
+                    np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.int64),
+                )
+            else:
+                run_starts = np.empty_like(self.runend_pos)
+                run_starts[0] = self.occ_pos[0]
+                run_starts[1:] = np.maximum(
+                    self.occ_pos[1:], self.runend_pos[:-1] + 1
+                )
+                ri, rem, cnt, pos = decode_runs(
+                    self.slots.astype(np.uint64),
+                    run_starts,
+                    self.runend_pos,
+                    self.geom.bits_per_slot,
+                )
+                hashes = (
+                    self.occ_pos[ri].astype(np.uint64)
+                    << _U64(self.geom.bits_per_slot)
+                ) | rem
+                self._decoded = _Decoded(hashes, cnt, pos)
+        return self._decoded
+
+    def items(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(key_hash, value, count) in ascending hash order — the iterator
+        surface (qfi_get, src/gqf.c:2310-2348), fully decoded."""
+        d = self._decode()
+        vb = self.config.value_bits
+        if vb:
+            vmask = _U64((1 << vb) - 1)
+            return d.hashes >> _U64(vb), d.hashes & vmask, d.counts
+        return d.hashes, np.zeros_like(d.hashes), d.counts
+
+    def keys(self) -> np.ndarray:
+        """Recovered original keys (INVERTIBLE mode only)."""
+        kh, _, _ = self.items()
+        return unhash_keys(kh, self.config)
+
+    def items_from(self, key: int) -> tuple[np.ndarray, np.ndarray]:
+        """Range scan: (hash, count) for stored hashes >= hash(key)
+        (qf_iterator_from_key_value, src/gqf.c:2234-2308)."""
+        d = self._decode()
+        h = int(hash_keys(np.array([key], dtype=np.uint64), self.config)[0])
+        h <<= self.config.value_bits
+        i = int(np.searchsorted(d.hashes, _U64(h), side="left"))
+        return d.hashes[i:], d.counts[i:]
+
+    # ------------------------------------------------------------------ #
+    # queries (src/gqf.c:2018-2132)
+    # ------------------------------------------------------------------ #
+
+    def _probe_hashes(self, keys: np.ndarray, values: np.ndarray | None) -> np.ndarray:
+        h = hash_keys(keys, self.config)
+        vb = self.config.value_bits
+        if vb:
+            vmask = _U64((1 << vb) - 1)
+            v = (
+                np.zeros(h.size, dtype=np.uint64)
+                if values is None
+                else np.ascontiguousarray(values, dtype=np.uint64) & vmask
+            )
+            h = (h << _U64(vb)) | v
+        return h
+
+    def count_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Multiplicity per pre-hashed probe; 0 = definitely absent."""
+        d = self._decode()
+        h = np.ascontiguousarray(hashes, dtype=np.uint64)
+        idx = np.searchsorted(d.hashes, h, side="left")
+        out = np.zeros(h.size, dtype=np.uint64)
+        ok = idx < d.hashes.size
+        hit = ok.copy()
+        hit[ok] = d.hashes[idx[ok]] == h[ok]
+        out[hit] = d.counts[idx[hit]]
+        return out
+
+    def count(self, keys: np.ndarray, values: np.ndarray | None = None) -> np.ndarray:
+        """qf_count_key_value (src/gqf.c:2018-2054), vectorized over probes."""
+        return self.count_hashes(self._probe_hashes(keys, values))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Approximate membership: no false negatives, FP <= 2^-r * load."""
+        return self.count(keys) > 0
+
+    def query(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """qf_query (src/gqf.c:2056-2093): per key, total count across all
+        values plus the first stored value."""
+        d = self._decode()
+        vb = self.config.value_bits
+        kh = hash_keys(keys, self.config)
+        lo = kh << _U64(vb)
+        hi = (kh + _U64(1)) << _U64(vb) if vb else lo + _U64(1)
+        a = np.searchsorted(d.hashes, lo, side="left")
+        b = np.searchsorted(d.hashes, hi, side="left")
+        counts = np.zeros(kh.size, dtype=np.uint64)
+        values = np.zeros(kh.size, dtype=np.uint64)
+        hit = b > a
+        if hit.any():
+            # first stored value for the key; count of that first entry
+            # (the reference returns the first match's count)
+            first = a[hit]
+            counts[hit] = d.counts[first]
+            if vb:
+                values[hit] = d.hashes[first] & _U64((1 << vb) - 1)
+        return counts, values
+
+    def unique_index(self, key: int, value: int = 0) -> int:
+        """qf_get_unique_index (src/gqf.c:2095-2132): slot index of the key's
+        counter (a perfect-hash-style handle, stable until mutation)."""
+        d = self._decode()
+        h = self._probe_hashes(
+            np.array([key], dtype=np.uint64),
+            np.array([value], dtype=np.uint64),
+        )[0]
+        i = int(np.searchsorted(d.hashes, h, side="left"))
+        if i < d.hashes.size and d.hashes[i] == h:
+            return int(d.slot_index[i])
+        return -1
+
+    def count_navigate(self, keys: np.ndarray) -> np.ndarray:
+        """The authentic rank/select query path (src/gqf.c:2018-2054 over
+        run_end, src/gqf.c:567-616) — used to cross-check the decoded path.
+
+        rank(occupieds, q) via searchsorted on occupied positions; select
+        (runends, k) via direct indexing; then a vectorized scan of the
+        run's counters.
+        """
+        geom = self.geom
+        h = self._probe_hashes(keys, None)
+        bps = geom.bits_per_slot
+        q = (h >> _U64(bps)).astype(np.int64)
+        rem = h & _U64((1 << bps) - 1)
+        out = np.zeros(h.size, dtype=np.uint64)
+
+        ranks = bitpack.rank(self.occ_pos, q)  # occupieds rank through q
+        occupied = np.zeros(h.size, dtype=bool)
+        nz = ranks > 0
+        occupied[nz] = self.occ_pos[ranks[nz] - 1] == q[nz]
+        if not occupied.any():
+            return out
+        oi = np.flatnonzero(occupied)
+        r_end = self.runend_pos[ranks[oi] - 1]
+        prev = ranks[oi] - 1
+        r_start = np.where(
+            prev > 0, self.runend_pos[np.maximum(prev - 1, 0)] + 1, 0
+        )
+        r_start = np.maximum(r_start, q[oi])
+        ri, rrem, rcnt, _ = decode_runs(
+            self.slots.astype(np.uint64), r_start, r_end, bps
+        )
+        # match probe remainder within its run's decoded counters
+        order = np.lexsort((rrem, ri))
+        key2 = (ri[order].astype(np.uint64) << _U64(bps)) | rrem[order]
+        probe = (np.arange(oi.size, dtype=np.uint64) << _U64(bps)) | rem[oi]
+        j = np.searchsorted(key2, probe, side="left")
+        okj = j < key2.size
+        hitp = okj.copy()
+        hitp[okj] = key2[j[okj]] == probe[okj]
+        out[oi[hitp]] = rcnt[order][j[hitp]]
+        return out
+
+    # ------------------------------------------------------------------ #
+    # mutation (all canonical rebuilds)
+    # ------------------------------------------------------------------ #
+
+    def _apply_delta(self, hashes: np.ndarray, deltas: np.ndarray) -> "Cqf":
+        d = self._decode()
+        allh = np.concatenate([d.hashes, hashes.astype(np.uint64)])
+        allc = np.concatenate([d.counts.astype(np.int64), deltas])
+        if allh.size == 0:
+            return Cqf(self.config, self.geom.qbits)
+        order = np.argsort(allh, kind="stable")
+        hs, cs = allh[order], allc[order]
+        boundaries = np.empty(hs.size, dtype=bool)
+        boundaries[0] = True
+        boundaries[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(boundaries)
+        hu = hs[starts]
+        cu = np.maximum(np.add.reduceat(cs, starts), 0)  # clamp (gqf.c:1996)
+        return Cqf(
+            self.config,
+            self.geom.qbits,
+            _hashes=hu,
+            _counts=cu.astype(np.uint64),
+        )
+
+    def insert(
+        self,
+        keys: np.ndarray,
+        counts: np.ndarray | None = None,
+        values: np.ndarray | None = None,
+    ) -> "Cqf":
+        """Batch qf_insert (src/gqf.c:1899-1960); returns a new sketch."""
+        h = self._probe_hashes(np.ascontiguousarray(keys, dtype=np.uint64), values)
+        c = (
+            np.ones(h.size, dtype=np.int64)
+            if counts is None
+            else np.ascontiguousarray(counts, dtype=np.int64)
+        )
+        return self._apply_delta(h, c)
+
+    def remove(
+        self,
+        keys: np.ndarray,
+        counts: np.ndarray | None = None,
+        values: np.ndarray | None = None,
+    ) -> "Cqf":
+        """Batch qf_remove (src/gqf.c:1982-1998); clamps at zero."""
+        h = self._probe_hashes(np.ascontiguousarray(keys, dtype=np.uint64), values)
+        c = (
+            np.ones(h.size, dtype=np.int64)
+            if counts is None
+            else np.ascontiguousarray(counts, dtype=np.int64)
+        )
+        return self._apply_delta(h, -c)
+
+    def set_count(self, key: int, count: int, value: int = 0) -> "Cqf":
+        """qf_set_count (src/gqf.c:1962-1980)."""
+        cur = int(
+            self.count(
+                np.array([key], dtype=np.uint64), np.array([value], dtype=np.uint64)
+            )[0]
+        )
+        h = self._probe_hashes(
+            np.array([key], dtype=np.uint64), np.array([value], dtype=np.uint64)
+        )
+        return self._apply_delta(h, np.array([count - cur], dtype=np.int64))
+
+    def delete_key_value(self, key: int, value: int = 0) -> "Cqf":
+        """qf_delete_key_value (src/gqf.c:2000-2016)."""
+        return self.set_count(key, 0, value)
+
+    def resized(self, new_qbits: int) -> "Cqf":
+        """qf_resize (src/gqf.c:1819-1889): decode-all + rebuild at 2x (or
+        any) slot count; hash space unchanged so content is preserved."""
+        d = self._decode()
+        return Cqf(self.config, new_qbits, _hashes=d.hashes, _counts=d.counts)
+
+    def reset(self) -> "Cqf":
+        """qf_reset (src/gqf.c:1801-1817)."""
+        return Cqf(self.config, self.geom.qbits)
+
+    def copy(self) -> "Cqf":
+        """qf_copy (src/gqf.c:1790-1799)."""
+        d = self._decode()
+        return Cqf(
+            self.config,
+            self.geom.qbits,
+            _hashes=d.hashes.copy(),
+            _counts=d.counts.copy(),
+        )
+
+    # ------------------------------------------------------------------ #
+    # merge / set algebra (src/gqf.c:2432-2619)
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _check_mergeable(sketches: list["Cqf"]) -> CqfConfig:
+        cfg = sketches[0].config
+        for s in sketches[1:]:
+            if s.config != cfg:
+                # the reference's check (src/gqf.c:2438-2444) chains the
+                # mismatch conditions with && where || is intended, letting a
+                # single mismatched seed/mode through; we require full-config
+                # equality (deliberate fix, documented in SURVEY.md §7).
+                raise ValueError("cannot merge sketches with different configs")
+        return cfg
+
+    @classmethod
+    def merge_many(
+        cls,
+        sketches: list["Cqf"],
+        qbits: int | None = None,
+        auto_resize: bool = True,
+    ) -> "Cqf":
+        """qf_multi_merge (src/gqf.c:2479-2544): k-way multiset union, counts
+        of equal hashes add.  Associative + commutative, and with the
+        canonical layout any merge order serializes to identical bytes."""
+        cfg = cls._check_mergeable(sketches)
+        hs = np.concatenate([s._decode().hashes for s in sketches])
+        cs = np.concatenate([s._decode().counts for s in sketches])
+        if qbits is None:
+            qbits = max(s.geom.qbits for s in sketches)
+        return cls.from_hashes(cfg, hs, cs, qbits=qbits, auto_resize=auto_resize)
+
+    def merge(self, other: "Cqf", qbits: int | None = None) -> "Cqf":
+        """qf_merge (src/gqf.c:2432-2474)."""
+        return Cqf.merge_many([self, other], qbits=qbits)
+
+    def intersect(self, other: "Cqf", qbits: int | None = None) -> "Cqf":
+        """qf_intersect (src/gqf.c:2583-2613): keep hashes present in both.
+
+        The reference iterates the *larger* filter and keeps its counts
+        (src/gqf.c:2596-2612); we match that tie-break on serialized size.
+        """
+        Cqf._check_mergeable([self, other])
+        big = self if self.total_size_in_bytes > other.total_size_in_bytes else other
+        a, b = big._decode(), (other if big is self else self)._decode()
+        common, ia, _ = np.intersect1d(
+            a.hashes, b.hashes, assume_unique=True, return_indices=True
+        )
+        q = qbits if qbits is not None else self.geom.qbits
+        return Cqf.from_hashes(self.config, common, a.counts[ia], qbits=q)
+
+    def inner_product(self, other: "Cqf") -> int:
+        """qf_inner_product (src/gqf.c:2547-2580): sum of count_a * count_b
+        over shared hashes — the cosine numerator over count vectors."""
+        Cqf._check_mergeable([self, other])
+        a, b = self._decode(), other._decode()
+        _, ia, ib = np.intersect1d(
+            a.hashes, b.hashes, assume_unique=True, return_indices=True
+        )
+        return int(
+            (a.counts[ia].astype(np.float64) * b.counts[ib].astype(np.float64)).sum()
+        )
+
+    def magnitude(self) -> int:
+        """qf_magnitude (src/gqf.c:2616-2619): L2 norm of the count vector,
+        truncated to an integer exactly as the reference's uint64 return."""
+        return int(np.sqrt(self.inner_product(self)))
+
+    def magnitude_f(self) -> float:
+        """Full-precision L2 norm (library extension)."""
+        d = self._decode()
+        return float(np.sqrt((d.counts.astype(np.float64) ** 2).sum()))
+
+    # ------------------------------------------------------------------ #
+    # metadata accessors (src/gqf.c:2134-2186)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def nslots(self) -> int:
+        return self.geom.nslots
+
+    @property
+    def sum_of_counts(self) -> int:
+        """qf_get_sum_of_counts — total stream length N."""
+        return self.nelts
+
+    @property
+    def num_distinct(self) -> int:
+        """qf_get_num_distinct_key_value_pairs."""
+        return self.ndistinct
+
+    @property
+    def num_occupied_slots(self) -> int:
+        return self.noccupied
+
+    @property
+    def load_factor(self) -> float:
+        return self.noccupied / self.geom.nslots
+
+    @property
+    def total_size_in_bytes(self) -> int:
+        return len(self.to_bytes())
+
+    # ------------------------------------------------------------------ #
+    # serialization (src/gqf_file.c:264-349 analog; columnar layout)
+    # ------------------------------------------------------------------ #
+
+    def to_bytes(self) -> bytes:
+        geom = self.geom
+        header = _HEADER.pack(
+            MAGIC,
+            _WIRE_VERSION,
+            int(self.config.hash_mode),
+            self.config.key_bits,
+            self.config.value_bits,
+            self.config.seed,
+            geom.qbits,
+            self.nelts,
+            self.ndistinct,
+            self.noccupied,
+        )
+        occ_words = bitpack.bits_to_words(self.occ_pos, geom.nblocks)
+        re_words = bitpack.bits_to_words(self.runend_pos, geom.nblocks)
+        body = (
+            self.offsets.tobytes()
+            + occ_words.tobytes()
+            + re_words.tobytes()
+            + bitpack.pack_slots(
+                self.slots.astype(np.uint64), geom.bits_per_slot
+            )
+        )
+        return header + body + struct.pack("<I", zlib.crc32(header + body))
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Cqf":
+        """qf_deserialize (src/gqf_file.c:280-349): validates magic/version
+        and checksum before adopting the buffer."""
+        (magic, ver, mode, kb, vb, seed, qbits, nelts, ndistinct, noccupied) = (
+            _HEADER.unpack_from(data, 0)
+        )
+        if magic != MAGIC:
+            raise ValueError("bad magic — not a cqf_spark sketch")
+        if ver != _WIRE_VERSION:
+            raise ValueError(f"unsupported wire version {ver}")
+        (crc,) = struct.unpack_from("<I", data, len(data) - 4)
+        if zlib.crc32(data[:-4]) != crc:
+            raise ValueError("sketch checksum mismatch")
+        config = CqfConfig(
+            key_bits=kb, value_bits=vb, hash_mode=HashMode(mode), seed=seed
+        )
+        geom = config.geometry(qbits)
+        off = _HEADER.size
+        self = cls.__new__(cls)
+        self.config = config
+        self.geom = geom
+        self.offsets = np.frombuffer(
+            data, dtype=np.uint8, count=geom.nblocks, offset=off
+        ).copy()
+        off += geom.nblocks
+        occ_words = np.frombuffer(data, dtype=np.uint64, count=geom.nblocks, offset=off)
+        off += geom.nblocks * 8
+        re_words = np.frombuffer(data, dtype=np.uint64, count=geom.nblocks, offset=off)
+        off += geom.nblocks * 8
+        nbytes = (geom.total_slots * geom.bits_per_slot + 7) // 8
+        self.slots = bitpack.unpack_slots(
+            data[off : off + nbytes], geom.total_slots, geom.bits_per_slot
+        )
+        self.occ_pos = bitpack.words_to_bits(occ_words)
+        self.runend_pos = bitpack.words_to_bits(re_words)
+        self.nelts = nelts
+        self.ndistinct = ndistinct
+        self.noccupied = noccupied
+        self.max_displacement = -1  # unknown after deserialize
+        self._decoded = None
+        return self
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Cqf):
+            return NotImplemented
+        return self.to_bytes() == other.to_bytes()
+
+    def __repr__(self) -> str:
+        return (
+            f"Cqf(qbits={self.geom.qbits}, r={self.geom.key_remainder_bits}, "
+            f"nelts={self.nelts}, ndistinct={self.ndistinct}, "
+            f"load={self.load_factor:.3f})"
+        )
