@@ -1,0 +1,275 @@
+"""Distributed CQF aggregation — the Spark-native realization of the
+reference's insert/merge lifecycle (SURVEY.md §3).
+
+Pipeline shape (all Arrow-batched, no per-row Python):
+
+    df.select(key)                       # Catalyst prunes/pushes down
+      -> mapInPandas(build)              # one numpy CQF per partition
+                                         #   = partial aggregation
+      -> RDD[bytes].treeReduce(merge)    # log4(P) merge rounds
+                                         #   = qf_multi_merge (gqf.c:2479)
+      -> broadcast sketch                # qf_serialize bytes on the wire
+      -> pandas_udf probes               # qf_count_key_value, vectorized
+
+Only sketch blobs cross process/node boundaries after extraction; raw keys
+never shuffle.  Per-partition locks are unnecessary (single-writer
+partitions replace the reference's region spin-locks, src/gqf.c:146-244);
+per-partition metrics replace the per-CPU partitioned counters
+(src/partitioned_counter.c).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+import zipfile
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from .config import CqfConfig, HashMode
+from .core import Cqf, hash_keys
+from .functions.hashing import murmur64a_bytes
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: Any) -> None:
+    """Ship the cqf_spark package to executors (the ``spark-submit
+    --py-files`` contract, automated).
+
+    Executor python workers unpickle our closures by module reference; if the
+    driver wasn't launched from the repo root the import fails.  Zipping the
+    package once per SparkContext and ``addPyFile``-ing it makes every
+    aggregation self-contained on any cluster.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"cqf_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "cqf_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+# decoded-sketch cache keyed by blob identity, so executor processes decode a
+# broadcast sketch once per python worker instead of once per batch
+_SKETCH_CACHE: dict[int, Cqf] = {}
+
+
+def _cached_sketch(blob: bytes) -> Cqf:
+    key = hash(blob[:64] + blob[-16:] + len(blob).to_bytes(8, "little"))
+    sk = _SKETCH_CACHE.get(key)
+    if sk is None:
+        sk = Cqf.from_bytes(blob)
+        if len(_SKETCH_CACHE) > 8:
+            _SKETCH_CACHE.clear()
+        _SKETCH_CACHE[key] = sk
+    return sk
+
+
+def hash_series(s: pd.Series, config: CqfConfig) -> np.ndarray:
+    """Hash one Arrow batch of keys into the sketch universe.
+
+    Integer keys follow the reference exactly (8-byte LE Murmur / Wang per
+    mode, src/gqf.c:1918-1924).  String/binary keys are a library extension:
+    MurmurHash64A over the UTF-8 bytes, masked into the universe — DEFAULT
+    mode only (an invertible hash of variable-length text cannot exist).
+    """
+    if s.dtype == object or pd.api.types.is_string_dtype(s.dtype):
+        if config.hash_mode != HashMode.DEFAULT:
+            raise ValueError("string keys require HashMode.DEFAULT")
+        vals = s.fillna("").astype(str).to_numpy(dtype=object)
+        data = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals]
+        mask = (1 << config.key_bits) - 1
+        return murmur64a_bytes(data, config.seed) & np.uint64(mask)
+    arr = s.to_numpy()
+    if arr.dtype.kind == "f":
+        arr = arr.astype(np.int64)
+    return hash_keys(arr.astype(np.int64).view(np.uint64), config)
+
+
+SKETCH_SCHEMA = (
+    "sketch binary, nelts long, ndistinct long, noccupied long, "
+    "qbits int, load double, n_rows long"
+)
+
+
+def build_sketches(
+    df: Any,
+    key_col: str,
+    config: CqfConfig,
+    count_col: str | None = None,
+    qbits_hint: int | None = None,
+    value_col: str | None = None,
+) -> Any:
+    """Per-partition partial aggregation: DataFrame -> one sketch row per
+    partition (the UDAF *update* phase; qf_insert batched, SURVEY.md §3.1).
+
+    The input should already be pruned to (key[, count]) so the parquet scan
+    reads only those columns.  Each partition hashes its batches eagerly
+    (keys are dropped immediately; only uint64 hashes are held) and bulk
+    builds once at the end — O(n log n) vectorized, with auto-resize doubling
+    on 95% load overflow exactly like src/gqf.c:1902-1914.
+    """
+    ensure_shipped(df.sparkSession)
+    cols = [key_col]
+    if count_col:
+        cols.append(count_col)
+    if value_col:
+        cols.append(value_col)
+    pruned = df.select(*cols)
+    vb = config.value_bits
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hash_chunks: list[np.ndarray] = []
+        count_chunks: list[np.ndarray] = []
+        n_rows = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_rows += len(pdf)
+            h = hash_series(pdf[key_col], config)
+            if value_col:
+                # pack value bits next to the remainder (src/gqf.c:1925-1926)
+                v = pdf[value_col].to_numpy().astype(np.int64).view(np.uint64)
+                h = (h << np.uint64(vb)) | (v & np.uint64((1 << vb) - 1))
+            elif vb:
+                h = h << np.uint64(vb)
+            hash_chunks.append(h)
+            if count_col:
+                count_chunks.append(
+                    pdf[count_col].to_numpy().astype(np.uint64)
+                )
+        hashes = (
+            np.concatenate(hash_chunks)
+            if hash_chunks
+            else np.empty(0, dtype=np.uint64)
+        )
+        counts = np.concatenate(count_chunks) if count_chunks else None
+        sk = Cqf.from_hashes(config, hashes, counts, qbits=qbits_hint)
+        yield pd.DataFrame(
+            {
+                "sketch": [sk.to_bytes()],
+                "nelts": [sk.nelts],
+                "ndistinct": [sk.ndistinct],
+                "noccupied": [sk.noccupied],
+                "qbits": [sk.geom.qbits],
+                "load": [sk.load_factor],
+                "n_rows": [n_rows],
+            }
+        )
+
+    return pruned.mapInPandas(build, schema=SKETCH_SCHEMA)
+
+
+def tree_merge(sketch_df: Any, depth: int | None = None) -> Cqf:
+    """UDAF *merge* phase: k-way tree reduction of sketch blobs
+    (qf_multi_merge semantics, src/gqf.c:2479-2544).
+
+    depth defaults to ceil(log4 P) so each round has fan-in ~4; only
+    serialized sketches (KBs-MBs) move through the reduce, mirroring
+    qf_serialize bytes on disk (src/gqf_file.c:264-278).
+    """
+    rdd = sketch_df.select("sketch").rdd.map(lambda r: bytes(r[0]))
+    n = sketch_df.rdd.getNumPartitions()
+    if depth is None:
+        depth = max(1, int(math.ceil(math.log(max(n, 2), 4))))
+
+    def merge_bytes(a: bytes, b: bytes) -> bytes:
+        return Cqf.from_bytes(a).merge(Cqf.from_bytes(b)).to_bytes()
+
+    blob = rdd.treeReduce(merge_bytes, depth=depth)
+    return Cqf.from_bytes(blob)
+
+
+def cqf_aggregate(
+    df: Any,
+    key_col: str,
+    config: CqfConfig,
+    count_col: str | None = None,
+    qbits_hint: int | None = None,
+    value_col: str | None = None,
+) -> Cqf:
+    """Full build: partial per-partition sketches + tree merge -> one Cqf."""
+    return tree_merge(
+        build_sketches(df, key_col, config, count_col, qbits_hint, value_col)
+    )
+
+
+# --------------------------------------------------------------------- #
+# probe side: broadcast sketch + vectorized pandas UDFs (SURVEY.md §3.2)
+# --------------------------------------------------------------------- #
+
+def count_udf(spark: Any, sketch: Cqf):
+    """pandas UDF: approximate multiplicity of each key (long).
+
+    qf_count_key_value broadcast to executors; the hash + searchsorted probe
+    is a whole-batch numpy op.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    ensure_shipped(spark)
+    blob = spark.sparkContext.broadcast(sketch.to_bytes())
+    config = sketch.config
+
+    @pandas_udf(LongType())
+    def _count(keys: pd.Series) -> pd.Series:
+        sk = _cached_sketch(blob.value)
+        h = hash_series(keys, config)
+        # keys are hashed here, then counted against pre-hashed content
+        return pd.Series(sk.count_hashes(h).astype(np.int64))
+
+    return _count
+
+
+def contains_udf(spark: Any, sketch: Cqf):
+    """pandas UDF: approximate membership (boolean; no false negatives)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    ensure_shipped(spark)
+    blob = spark.sparkContext.broadcast(sketch.to_bytes())
+    config = sketch.config
+
+    @pandas_udf(BooleanType())
+    def _contains(keys: pd.Series) -> pd.Series:
+        sk = _cached_sketch(blob.value)
+        h = hash_series(keys, config)
+        return pd.Series(sk.count_hashes(h) > 0)
+
+    return _contains
+
+
+def query_value_udf(spark: Any, sketch: Cqf):
+    """pandas UDF: qf_query's stored value for each key (long, -1 if absent)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    ensure_shipped(spark)
+    blob = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @pandas_udf(LongType())
+    def _value(keys: pd.Series) -> pd.Series:
+        sk = _cached_sketch(blob.value)
+        counts, values = sk.query(keys.to_numpy().astype(np.int64).view(np.uint64))
+        out = values.astype(np.int64)
+        out[counts == 0] = -1
+        return pd.Series(out)
+
+    return _value

@@ -1,0 +1,244 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark pipeline,
+DuckDB oracle SQL) pair over the driver's parquet tables.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names/types match its oracle exactly (the driver's compare hashes
+values after sorting columns by name).
+
+Config choices make the sketch results *exactly* equal to the SQL oracle at
+test scale: INVERTIBLE mode (Wang bijective hash, src/hashutil.c:132-142)
+for integer keys means zero collisions by construction; DEFAULT Murmur mode
+for text tokens at key_bits=48 has collision probability ~n^2/2^49 (~1e-5 at
+60k tokens) — verified empirically in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregator import (
+    build_sketches,
+    contains_udf,
+    count_udf,
+    cqf_aggregate,
+    query_value_udf,
+    tree_merge,
+)
+from .config import CqfConfig, HashMode
+from .core import unhash_keys
+
+INT_CONFIG = CqfConfig(key_bits=48, hash_mode=HashMode.INVERTIBLE, seed=2038074743)
+TOKEN_CONFIG = CqfConfig(key_bits=48, hash_mode=HashMode.DEFAULT, seed=2038074743)
+KV_CONFIG = CqfConfig(
+    key_bits=48, value_bits=3, hash_mode=HashMode.INVERTIBLE, seed=2038074743
+)
+
+_LANG_CODES = {"en": 0, "de": 1, "fr": 2, "es": 3, "zh": 4}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text exploded to one token per row — the n-gram stream of
+    the north star.  split+explode stays in whole-stage codegen; the sketch
+    build is the only Python stage."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# SURVEY §2.3 queries: multiplicity / membership
+# --------------------------------------------------------------------- #
+
+def q_multiplicity_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_count_key_value over every distinct l_partkey (src/gqf.c:2018)."""
+    li = load(spark, sf_dir, "lineitem")
+    sketch = cqf_aggregate(li, "l_partkey", INT_CONFIG)
+    probes = li.select("l_partkey").distinct()
+    return probes.select(
+        "l_partkey", count_udf(spark, sketch)("l_partkey").alias("approx_count")
+    )
+
+
+def q_membership_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate membership (count>0) as a semi-join replacement."""
+    orders = load(spark, sf_dir, "orders")
+    sketch = cqf_aggregate(orders, "o_custkey", INT_CONFIG)
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    return cust.where(contains_udf(spark, sketch)("c_custkey")).select("c_custkey")
+
+
+def q_token_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: how often does each token appear in the corpus?
+    (SURVEY.md §7 phase 2 — the minimum end-to-end slice.)"""
+    toks = tokens_df(spark, sf_dir)
+    sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
+    return toks.distinct().select(
+        "token", count_udf(spark, sketch)("token").alias("approx_count")
+    )
+
+
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: tokens with frequency >= 20 (threshold form keeps the
+    result deterministic for the oracle compare)."""
+    toks = tokens_df(spark, sf_dir)
+    sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
+    cnt = count_udf(spark, sketch)("token").alias("cnt")
+    return toks.distinct().select("token", cnt).where(F.col("cnt") >= 20)
+
+
+def q_kv_store_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_query as a key->value store read (src/gqf.c:2056-2093):
+    value_bits carry a language code next to each doc_id's remainder."""
+    docs = load(spark, sf_dir, "documents")
+    lang_code = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _LANG_CODES.items()],
+        F.lit(5),
+    )
+    keyed = docs.select("doc_id", lang_code.alias("lang_code"))
+    sketch = cqf_aggregate(keyed, "doc_id", KV_CONFIG, value_col="lang_code")
+    return keyed.select(
+        "doc_id", query_value_udf(spark, sketch)("doc_id").alias("lang_code")
+    )
+
+
+# --------------------------------------------------------------------- #
+# SURVEY §2.4 metadata aggregates
+# --------------------------------------------------------------------- #
+
+def q_sum_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_get_sum_of_counts == exact stream length (src/gqf.c:2173)."""
+    sketch = cqf_aggregate(load(spark, sf_dir, "lineitem"), "l_partkey", INT_CONFIG)
+    return spark.createDataFrame([(sketch.sum_of_counts,)], "n long")
+
+
+def q_ndistinct_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_get_num_distinct_key_value_pairs (src/gqf.c:2177) — exact in
+    INVERTIBLE mode (bijective hash, no collisions)."""
+    sketch = cqf_aggregate(load(spark, sf_dir, "lineitem"), "l_partkey", INT_CONFIG)
+    return spark.createDataFrame([(sketch.num_distinct,)], "n long")
+
+
+# --------------------------------------------------------------------- #
+# SURVEY §2.6 set algebra
+# --------------------------------------------------------------------- #
+
+def _event_sketch(spark: SparkSession, sf_dir: str, etype: str):
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == etype)
+    return cqf_aggregate(ev, "user_id", INT_CONFIG)
+
+
+def q_inner_product_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_inner_product (src/gqf.c:2547): sum(count_click * count_view)."""
+    a = _event_sketch(spark, sf_dir, "click")
+    b = _event_sketch(spark, sf_dir, "view")
+    return spark.createDataFrame([(a.inner_product(b),)], "ip long")
+
+
+def q_magnitude_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_magnitude (src/gqf.c:2616): floor(sqrt(sum count^2))."""
+    sketch = cqf_aggregate(load(spark, sf_dir, "lineitem"), "l_partkey", INT_CONFIG)
+    return spark.createDataFrame([(sketch.magnitude(),)], "magnitude long")
+
+
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_intersect (src/gqf.c:2583): users present in both event streams;
+    INVERTIBLE hashes are un-hashed back to the original user_ids
+    (hash_64i, src/hashutil.c:146-181)."""
+    a = _event_sketch(spark, sf_dir, "click")
+    b = _event_sketch(spark, sf_dir, "purchase")
+    inter = a.intersect(b)
+    kh, _, _ = inter.items()
+    users = np.sort(unhash_keys(kh, INT_CONFIG).astype(np.int64)).tolist()
+    return spark.createDataFrame([(int(u),) for u in users], "user_id long")
+
+
+def q_merge_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_merge as multiset UNION ALL (src/gqf.c:2432): counts from two
+    disjoint builds add up to the whole-table counts."""
+    li = load(spark, sf_dir, "lineitem")
+    lo = li.where(F.col("l_linenumber") <= 3)
+    hi = li.where(F.col("l_linenumber") > 3)
+    a = cqf_aggregate(lo, "l_suppkey", INT_CONFIG)
+    b = cqf_aggregate(hi, "l_suppkey", INT_CONFIG)
+    merged = a.merge(b)
+    probes = li.select("l_suppkey").distinct()
+    return probes.select(
+        "l_suppkey", count_udf(spark, merged)("l_suppkey").alias("approx_count")
+    )
+
+
+# --------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------- #
+
+SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cqf_multiplicity_partkey": q_multiplicity_partkey,
+    "cqf_membership_custkey": q_membership_custkey,
+    "cqf_token_multiplicity": q_token_multiplicity,
+    "cqf_heavy_hitters_tokens": q_heavy_hitters_tokens,
+    "cqf_kv_store_lang": q_kv_store_lang,
+    "cqf_sum_of_counts": q_sum_of_counts,
+    "cqf_ndistinct_partkey": q_ndistinct_partkey,
+    "cqf_inner_product_events": q_inner_product_events,
+    "cqf_magnitude_partkey": q_magnitude_partkey,
+    "cqf_intersect_users": q_intersect_users,
+    "cqf_merge_union_counts": q_merge_union_counts,
+}
+
+SKETCH_ORACLES: dict[str, str] = {
+    "cqf_multiplicity_partkey": (
+        "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem GROUP BY l_partkey"
+    ),
+    "cqf_membership_custkey": (
+        "SELECT c_custkey FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    ),
+    "cqf_token_multiplicity": (
+        "SELECT token, COUNT(*) AS approx_count FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        ") GROUP BY token"
+    ),
+    "cqf_heavy_hitters_tokens": (
+        "SELECT token, COUNT(*) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        ") GROUP BY token HAVING COUNT(*) >= 20"
+    ),
+    "cqf_kv_store_lang": (
+        "SELECT doc_id, CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 "
+        "WHEN 'fr' THEN 2 WHEN 'es' THEN 3 WHEN 'zh' THEN 4 ELSE 5 END "
+        "AS lang_code FROM documents"
+    ),
+    "cqf_sum_of_counts": "SELECT COUNT(*) AS n FROM lineitem",
+    "cqf_ndistinct_partkey": (
+        "SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem"
+    ),
+    "cqf_inner_product_events": (
+        "WITH a AS (SELECT user_id, COUNT(*) AS c FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id), "
+        "b AS (SELECT user_id, COUNT(*) AS c FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id) "
+        "SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS ip "
+        "FROM a JOIN b USING (user_id)"
+    ),
+    "cqf_magnitude_partkey": (
+        "SELECT CAST(FLOOR(SQRT(SUM(c * c))) AS BIGINT) AS magnitude FROM ("
+        "SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)"
+    ),
+    "cqf_intersect_users": (
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT "
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+    ),
+    "cqf_merge_union_counts": (
+        "SELECT l_suppkey, COUNT(*) AS approx_count FROM lineitem GROUP BY l_suppkey"
+    ),
+}
