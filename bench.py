@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline sketch queries end-to-end at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...extras}
+
+Extras mirror the reference's own bm.c metrics (src/bm.c:721-832): build
+(insert+merge) throughput in M-ops/s over the token stream, probe-lookup
+throughput, and the empirical false-positive rate against the published
+bound (<= 2^-r at the measured load factor, README.md:36-38).
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the build at N and 4N cores
+and report scaling efficiency (separate SparkSessions; see scaling_bench.py
+for the full two-level evidence written to BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"cqf-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    t_all = time.time()
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import numpy as np
+
+    from cqf_spark import queries as Q
+    from cqf_spark.aggregator import build_sketches, count_udf, tree_merge
+
+    # -- headline end-to-end queries (build -> tree merge -> broadcast probe)
+    headline = [
+        "cqf_token_multiplicity",
+        "cqf_multiplicity_partkey",
+        "cqf_membership_custkey",
+        "cqf_merge_union_counts",
+        "cqf_inner_product_events",
+        "cqf_heavy_hitters_tokens",
+    ]
+    try:
+        from cqf_spark.operators.registry import BENCH_QUERIES
+
+        headline += list(BENCH_QUERIES)
+    except ImportError:
+        pass
+    from __spark_entry__ import queries as all_queries
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = registry[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # -- reference-style core metrics (bm.c analog) over l_partkey:
+    # 600k-row stream, 20k distinct — insert+merge throughput then full-stream
+    # probe throughput.
+    li = Q.load(spark, SF_DIR, "lineitem").select("l_partkey").cache()
+    n_items = li.count()
+
+    t0 = time.time()
+    parts = build_sketches(li, "l_partkey", Q.INT_CONFIG).cache()
+    n_parts = parts.count()
+    t_build = time.time() - t0
+    t0 = time.time()
+    sketch = tree_merge(parts)
+    t_merge = time.time() - t0
+    parts.unpersist()
+    insert_mops = n_items / max(t_build + t_merge, 1e-9) / 1e6
+
+    t0 = time.time()
+    li.select(count_udf(spark, sketch)("l_partkey").alias("c")).agg(
+        {"c": "sum"}
+    ).collect()
+    t_probe = time.time() - t0
+    lookup_mops = n_items / max(t_probe, 1e-9) / 1e6
+    li.unpersist()
+
+    # -- empirical FP rate at r=8, 95% load (the reference's canonical
+    # ./test q 8 discipline, README.md:49-62; bm.c:767-831 methodology) ----
+    from cqf_spark.config import CqfConfig, HashMode
+    from cqf_spark.core import Cqf, hash_keys
+
+    q = 16
+    fp_cfg = CqfConfig(key_bits=q + 8, hash_mode=HashMode.DEFAULT, seed=1)
+    rng = np.random.default_rng(0xC0F)
+    nvals = int(0.95 * (1 << q))
+    present = rng.integers(0, 2**63, nvals).astype(np.uint64)
+    fp_sketch = Cqf.from_hashes(
+        fp_cfg, hash_keys(present, fp_cfg), qbits=q
+    )
+    absent = rng.integers(0, 2**63, 100_000).astype(np.uint64)
+    absent = np.setdiff1d(absent, present)
+    fp = int((fp_sketch.count_hashes(hash_keys(absent, fp_cfg)) > 0).sum())
+    fp_rate = fp / len(absent)
+    fp_bound = fp_sketch.load_factor * 2.0**-8
+
+    out = {
+        "metric": "cqf end-to-end headline queries (build+merge+probe), total wall sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "cores": CPUS,
+        "n_build_items": int(n_items),
+        "n_partitions": int(n_parts),
+        "build_merge_mops_per_s": round(insert_mops, 3),
+        "probe_lookup_mops_per_s": round(lookup_mops, 3),
+        "fp_rate_r8_95load": fp_rate,
+        "fp_bound_2^-r*load": fp_bound,
+        "fp_ok": bool(fp_rate <= fp_bound * 1.5 + 1e-12),
+        "total_wall_s": round(time.time() - t_all, 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

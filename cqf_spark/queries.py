@@ -48,10 +48,12 @@ def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text exploded to one token per row — the n-gram stream of
     the north star.  split+explode stays in whole-stage codegen; the sketch
     build is the only Python stage."""
-    return (
-        load(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-    )
+    from .aggregator import ensure_parallelism
+
+    # repartition the *compact* documents (pre-explode) so tokenization and
+    # the sketch build parallelize; the exploded stream itself never shuffles
+    docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    return docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
 
 
 # --------------------------------------------------------------------- #
