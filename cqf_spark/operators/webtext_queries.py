@@ -1,0 +1,104 @@
+"""Webtext pipeline queries: the north star's end-to-end path
+(synthesize pages -> extract text -> n-gram streams -> CQF sketch ->
+probe), each with a DuckDB oracle over the driver's ``documents`` table.
+
+Because ``synth_webtext`` derives every page deterministically from
+``documents`` and extraction is the exact inverse of synthesis, these
+queries prove the full chain: per-url byte-identical extraction AND
+sketch counts equal to exact SQL aggregates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..aggregator import count_udf, cqf_aggregate
+from ..config import CqfConfig, HashMode
+from ..webtext import (
+    ngram_stream,
+    synth_webtext,
+    url_host_stream,
+    with_extracted_text,
+)
+
+NGRAM_CONFIG = CqfConfig(key_bits=48, hash_mode=HashMode.DEFAULT, seed=2038074743)
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..aggregator import ensure_parallelism
+
+    return with_extracted_text(ensure_parallelism(synth_webtext(spark, sf_dir)))
+
+
+def q_extract_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint invariant as a query: extracted text, keyed by doc_id,
+    must be byte-identical to the source-of-truth text column."""
+    return _pages(spark, sf_dir).select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+
+
+def q_bigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies over extracted text via a distributed CQF."""
+    pages = _pages(spark, sf_dir)
+    grams = ngram_stream(pages, 2)
+    sketch = cqf_aggregate(grams, "ngram", NGRAM_CONFIG)
+    return grams.distinct().select(
+        "ngram", count_udf(spark, sketch)("ngram").alias("approx_count")
+    )
+
+
+def q_url_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages per host (parse_url on the synthesized urls) counted by CQF."""
+    pages = _pages(spark, sf_dir)
+    hosts = url_host_stream(pages)
+    sketch = cqf_aggregate(hosts, "host", NGRAM_CONFIG)
+    return hosts.distinct().select(
+        "host", count_udf(spark, sketch)("host").alias("approx_count")
+    )
+
+
+def q_pages_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages per epoch-day from warc_ts, sketch-counted (keys = day index,
+    tz-independent via unix seconds)."""
+    pages = _pages(spark, sf_dir)
+    days = pages.select(
+        F.floor(F.unix_timestamp("warc_ts") / 86400).alias("epoch_day")
+    )
+    from ..queries import INT_CONFIG
+
+    sketch = cqf_aggregate(days, "epoch_day", INT_CONFIG)
+    return days.distinct().select(
+        "epoch_day", count_udf(spark, sketch)("epoch_day").alias("approx_count")
+    )
+
+
+WEBTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "webtext_extract_identity": q_extract_identity,
+    "webtext_bigram_multiplicity": q_bigram_multiplicity,
+    "webtext_url_host_counts": q_url_host_counts,
+    "webtext_pages_per_day": q_pages_per_day,
+}
+
+WEBTEXT_ORACLES: dict[str, str] = {
+    "webtext_extract_identity": "SELECT doc_id, text FROM documents",
+    "webtext_bigram_multiplicity": (
+        "SELECT ngram, COUNT(*) AS approx_count FROM ("
+        "SELECT unnest(list_transform(range(1, len(l)), "
+        "i -> l[i] || ' ' || l[i+1])) AS ngram "
+        "FROM (SELECT string_split(text, ' ') AS l FROM documents)"
+        ") GROUP BY ngram"
+    ),
+    "webtext_url_host_counts": (
+        "SELECT source || '.example.org' AS host, COUNT(*) AS approx_count "
+        "FROM documents GROUP BY source"
+    ),
+    "webtext_pages_per_day": (
+        "SELECT CAST(FLOOR((1700000000 + doc_id * 97) / 86400) AS BIGINT) "
+        "AS epoch_day, COUNT(*) AS approx_count FROM documents "
+        "GROUP BY epoch_day"
+    ),
+}

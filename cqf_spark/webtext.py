@@ -1,0 +1,195 @@
+"""Common-Crawl-style webtext pipeline (BASELINE input_hint).
+
+Input shape: an Iceberg-style table of web pages with columns
+``(url: string, warc_ts: timestamp, html: binary, text: string,
+lang: string)``.  This module provides
+
+1. ``synth_webtext``   — a deterministic synthetic page table at any SF,
+   derived row-for-row from the driver's ``documents`` parquet (seeded by
+   ``doc_id``, no RNG state), so DuckDB oracles over ``documents`` stay
+   valid for every downstream query;
+2. ``with_extracted_text`` — the vectorized html -> text extraction stage
+   (Arrow-batched pandas ops only, no per-row Python), whose output is
+   **byte-identical per url** across runs and parallelism levels — the
+   per-row invariant demanded by the north star;
+3. token / n-gram stream extractors feeding the CQF aggregation
+   (the "token/url n-gram streams" of the north star).
+
+The extraction is a real HTML-ish text pipeline (script/style removal, tag
+stripping, entity unescape, whitespace normalization) implemented with
+vectorized ``pandas.Series.str`` regex ops; determinism comes from pinning
+the exact pattern set — no locale, no env, no dict iteration order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# --------------------------------------------------------------------- #
+# synthesis: documents -> (url, warc_ts, html, text, lang)
+# --------------------------------------------------------------------- #
+
+_TEMPLATES_TAGS = [
+    # per doc_id % 4: different page shells, all extracting back to `text`
+    '<!DOCTYPE html><html lang="{lang}"><head><title>doc {doc_id}</title>'
+    "<script>var x = 1 < 2 && 3 > 2;</script></head><body><main><p>",
+    '<html><head><style>.c {{ color: #000; }}</style><meta charset="utf-8">'
+    "</head><body><div id='main'><p>",
+    "<html><body><!-- crawler: {url} --><article><h1>Doc {doc_id}</h1><p>",
+    '<html><body onload="init()"><section class="post"><p>',
+]
+_TEMPLATES_CLOSE = [
+    "</p></main></body></html>",
+    "</p></div></body></html>",
+    "</p></article></body></html>",
+    "</p></section></body></html>",
+]
+
+
+def synth_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Common-Crawl-style page table derived from
+    ``documents``: url/warc_ts are pure functions of (source, doc_id);
+    html wraps the document text in one of four page shells with entities
+    escaped; text/lang pass through as ground truth.
+
+    Everything is native Spark SQL expressions (whole-stage codegen);
+    ``html`` is a true ``binary`` column (UTF-8 encoded page bytes).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/page-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    # deterministic timestamp ladder: one page every 97 seconds from epoch day
+    warc_ts = F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 97)
+    escaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    shell = F.col("doc_id") % 4
+    head = F.element_at(
+        F.array(*[F.lit(t) for t in _TEMPLATES_TAGS]), (shell + 1).cast("int")
+    )
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in _TEMPLATES_CLOSE]), (shell + 1).cast("int")
+    )
+    head = F.replace(head, F.lit("{lang}"), F.col("lang"))
+    head = F.replace(head, F.lit("{doc_id}"), F.col("doc_id").cast("string"))
+    head = F.replace(head, F.lit("{url}"), url)
+    html = F.encode(F.concat(head, escaped, tail), "utf-8")
+    return docs.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+        F.col("doc_id").alias("doc_id"),  # kept for oracle joins; drop for prod
+    )
+
+
+# --------------------------------------------------------------------- #
+# extraction: html binary -> text, vectorized and deterministic
+# --------------------------------------------------------------------- #
+
+_STRIP_BLOCKS = (
+    r"(?s)<(script|style|head|h[1-6]|nav|header|footer|aside)\b[^>]*>.*?</\1>"
+    r"|<!--.*?-->"
+)
+_STRIP_TAGS = r"(?s)<[^>]+>"
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last: &amp;lt; must decode to &lt;, not <
+]
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized html->text: one Arrow batch in, one out.
+
+    Deterministic by construction: fixed regex set, fixed entity order
+    (&amp; decoded last so double-escapes survive single-decode), unicode
+    NFC-free (bytes in -> exact UTF-8 out), whitespace collapsed to single
+    spaces and trimmed.
+    """
+    s = html.map(
+        lambda b: b.decode("utf-8", errors="replace") if b is not None else ""
+    )
+    s = s.str.replace(_STRIP_BLOCKS, " ", regex=True)
+    s = s.str.replace(_STRIP_TAGS, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s
+
+
+def with_extracted_text(
+    pages: DataFrame, out_col: str = "extracted_text"
+) -> DataFrame:
+    """Add the extracted-text column via ``mapInPandas`` (Arrow batches).
+
+    Uses mapInPandas rather than a scalar pandas_udf so the html bytes are
+    dropped batch-by-batch (never retained past extraction) — at 100 TB the
+    html column dominates page size, so the pipeline after this stage
+    carries text only.
+    """
+    schema_out = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pages.schema.fields
+        if f.name != "html"
+    ) + f", {out_col} string"
+    names = [f.name for f in pages.schema.fields if f.name != "html"]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[names].copy()
+            out[out_col] = extract_text_series(pdf["html"])
+            yield out
+
+    return pages.mapInPandas(extract, schema=schema_out)
+
+
+# --------------------------------------------------------------------- #
+# n-gram streams (the sketch inputs of the north star)
+# --------------------------------------------------------------------- #
+
+def token_stream(pages: DataFrame, text_col: str = "extracted_text") -> DataFrame:
+    """One token per row from the extracted text (codegen split+explode)."""
+    return pages.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+
+
+def ngram_stream(
+    pages: DataFrame, n: int, text_col: str = "extracted_text"
+) -> DataFrame:
+    """Word n-grams as space-joined strings — native array ops only:
+    split -> transform over a sliding index range -> explode (no Python)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return pages.select(F.explode(grams).alias("ngram"))
+
+
+def url_host_stream(pages: DataFrame) -> DataFrame:
+    """Hostnames from page urls (native parse_url)."""
+    return pages.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    )
