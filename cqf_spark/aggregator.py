@@ -32,7 +32,7 @@ import pandas as pd
 
 from .config import CqfConfig, HashMode
 from .core import Cqf, hash_keys
-from .functions.hashing import murmur64a_bytes
+from .functions.hashing import fingerprint_bytes, murmur64a_bytes
 
 _SHIPPED: set[int] = set()
 
@@ -118,8 +118,8 @@ def ensure_parallelism(df: Any, min_parts: int | None = None) -> Any:
 
 
 SKETCH_SCHEMA = (
-    "sketch binary, nelts long, ndistinct long, noccupied long, "
-    "qbits int, load double, n_rows long"
+    "part_id int, sketch binary, nelts long, ndistinct long, noccupied long, "
+    "qbits int, load double, n_rows long, build_s double, blob_hash long"
 )
 
 
@@ -139,23 +139,37 @@ def build_sketches(
     (keys are dropped immediately; only uint64 hashes are held) and bulk
     builds once at the end — O(n log n) vectorized, with auto-resize doubling
     on 95% load overflow exactly like src/gqf.c:1902-1914.
+
+    Output carries per-partition lineage: partition id, element/distinct/
+    occupancy counters (the reference's pc_* metadata counters,
+    src/partitioned_counter.c), build wall seconds, and a murmur of the
+    blob for checkpoint validation.
     """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
     ensure_shipped(df.sparkSession)
     cols = [key_col]
     if count_col:
         cols.append(count_col)
     if value_col:
         cols.append(value_col)
-    pruned = ensure_parallelism(df.select(*cols))
+    pruned = ensure_parallelism(df.select(*cols)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
     vb = config.value_bits
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = _time.time()
         hash_chunks: list[np.ndarray] = []
         count_chunks: list[np.ndarray] = []
         n_rows = 0
+        part_id = -1
         for pdf in batches:
             if pdf.empty:
                 continue
+            part_id = int(pdf["__pid"].iloc[0])
             n_rows += len(pdf)
             h = hash_series(pdf[key_col], config)
             if value_col:
@@ -176,15 +190,20 @@ def build_sketches(
         )
         counts = np.concatenate(count_chunks) if count_chunks else None
         sk = Cqf.from_hashes(config, hashes, counts, qbits=qbits_hint)
+        blob = sk.to_bytes()
+        blob_hash = fingerprint_bytes(blob)
         yield pd.DataFrame(
             {
-                "sketch": [sk.to_bytes()],
+                "part_id": [part_id],
+                "sketch": [blob],
                 "nelts": [sk.nelts],
                 "ndistinct": [sk.ndistinct],
                 "noccupied": [sk.noccupied],
                 "qbits": [sk.geom.qbits],
                 "load": [sk.load_factor],
                 "n_rows": [n_rows],
+                "build_s": [_time.time() - t0],
+                "blob_hash": [blob_hash],
             }
         )
 

@@ -154,3 +154,21 @@ def hash_64i(keys: np.ndarray, mask: int) -> np.ndarray:
     tmp = ~(key - (tmp << _U64(21)))
     key = ~(key - (tmp << _U64(21))) & mk
     return key
+
+
+def fingerprint_bytes(data: bytes, seed: int = 0) -> int:
+    """Fast 64-bit content fingerprint of one (possibly large) byte string.
+
+    NOT the reference Murmur (which chains words sequentially and so can't
+    vectorize over a single long input); this hashes all 8-byte words in
+    one vectorized murmur64a_u64 pass keyed by position parity via an
+    index mix, then xor-folds.  Used for checkpoint lineage validation
+    (corruption detection), where any well-mixed hash suffices.
+    """
+    n = len(data)
+    pad = (-n) % 8
+    arr = np.frombuffer(data + b"\0" * pad, dtype="<u8")
+    if arr.size == 0:
+        return int(murmur64a_u64(np.array([n], dtype=np.uint64), seed)[0].astype(np.int64))
+    mixed = murmur64a_u64(arr + np.arange(arr.size, dtype=np.uint64), seed ^ n)
+    return int(np.bitwise_xor.reduce(mixed).astype(np.int64))

@@ -1,0 +1,347 @@
+"""Hash-range-sharded distributed CQF — the 10^12-key representation.
+
+A single CQF over 10^12 keys cannot live in one process (the reference
+itself mmaps out-of-RAM filters, src/gqf_file.c:33-86); the distributed
+form shards the hash universe by its TOP bits into ``n_shards`` contiguous
+ranges.  Because the CQF stores runs in quotient (= high-bit) order,
+shard boundaries align with the structure's own ordering: iterating
+shards in shard order yields globally hash-ordered items, exactly like
+``qf_iterator`` (src/gqf.c:2191-2348), and every shard operation is a
+textbook single-node CQF operation.
+
+Topology (only sketch blobs ever shuffle):
+
+    mapInPandas(build)         one sub-sketch per (input partition, shard)
+      -> groupBy(shard)        ONE blob shuffle
+      -> applyInPandas(merge)  per-shard k-way merge (qf_multi_merge)
+      -> DataFrame[shard, sketch, metrics]   stays distributed
+
+No serial tail: the driver never decodes anything unless the user
+broadcasts the (small) shard set for probing.  Skew-free by construction:
+shards are hash ranges, so load is uniform regardless of key skew.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from .aggregator import ensure_parallelism, ensure_shipped, hash_series
+from .config import CqfConfig
+from .core import Cqf
+
+SHARD_SCHEMA = (
+    "shard int, sketch binary, nelts long, ndistinct long, n_rows long"
+)
+
+
+def _local_config(config: CqfConfig, shard_bits: int) -> CqfConfig:
+    """Per-shard sketch config: hashes are stored *relative to the shard*
+    (top shard_bits stripped).  Storing global hashes would put every key
+    of a shard in the same narrow quotient range — the reference's
+    worst-case clustered-input warning (include/gqf.h:38-40) — ballooning
+    each sub-sketch ~n_shards x via auto-resize.  Local hashes keep
+    quotients uniform inside each shard."""
+    return dataclasses.replace(config, key_bits=config.key_bits - shard_bits)
+
+
+def _shard_bits(n_shards: int) -> int:
+    b = int(math.log2(n_shards))
+    if (1 << b) != n_shards:
+        raise ValueError("n_shards must be a power of two")
+    return b
+
+
+def build_sharded(
+    df: Any,
+    key_col: str,
+    config: CqfConfig,
+    n_shards: int = 64,
+    count_col: str | None = None,
+) -> Any:
+    """DataFrame -> DataFrame[shard, sketch, ...]: the distributed sketch.
+
+    Each input partition sorts its hashes once (needed for the bulk build
+    anyway), splits them at shard boundaries with one ``searchsorted``,
+    and bulk-builds one sub-CQF per non-empty shard.  The only shuffle is
+    the per-shard blob exchange feeding the merge.
+    """
+    sb = _shard_bits(n_shards)
+    shift = np.uint64(config.key_bits + config.value_bits - sb)
+    local_mask = np.uint64((1 << int(shift)) - 1)
+    local_cfg = _local_config(config, sb)
+    ensure_shipped(df.sparkSession)
+    cols = [key_col] + ([count_col] if count_col else [])
+    pruned = ensure_parallelism(df.select(*cols))
+    vb = config.value_bits
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hash_chunks: list[np.ndarray] = []
+        count_chunks: list[np.ndarray] = []
+        n_rows = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_rows += len(pdf)
+            h = hash_series(pdf[key_col], config)
+            if vb:
+                h = h << np.uint64(vb)
+            hash_chunks.append(h)
+            if count_col:
+                count_chunks.append(pdf[count_col].to_numpy().astype(np.uint64))
+        h = (
+            np.concatenate(hash_chunks)
+            if hash_chunks
+            else np.empty(0, dtype=np.uint64)
+        )
+        c = np.concatenate(count_chunks) if count_chunks else None
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        if c is not None:
+            c = c[order]
+        bounds = np.searchsorted(
+            h, np.arange(1, 1 << sb, dtype=np.uint64) << shift, side="left"
+        )
+        starts = np.r_[0, bounds]
+        ends = np.r_[bounds, h.size]
+        out: dict[str, list] = {k: [] for k in ("shard", "sketch", "nelts", "ndistinct", "n_rows")}
+        for s in range(1 << sb):
+            lo, hi = int(starts[s]), int(ends[s])
+            if lo == hi:
+                continue
+            sk = Cqf.from_hashes(
+                local_cfg,
+                h[lo:hi] & local_mask,
+                None if c is None else c[lo:hi],
+            )
+            out["shard"].append(s)
+            out["sketch"].append(sk.to_bytes())
+            out["nelts"].append(sk.nelts)
+            out["ndistinct"].append(sk.ndistinct)
+            out["n_rows"].append(hi - lo)
+        yield pd.DataFrame(out)
+
+    partials = pruned.mapInPandas(build, schema=SHARD_SCHEMA)
+
+    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sks = [Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]]
+        m = Cqf.merge_many(sks)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "sketch": [m.to_bytes()],
+                "nelts": [m.nelts],
+                "ndistinct": [m.ndistinct],
+                "n_rows": [int(pdf["n_rows"].sum())],
+            }
+        )
+
+    # explicit numPartitions pins the exchange: AQE would otherwise
+    # coalesce this small-but-CPU-heavy blob shuffle into 1-2 partitions,
+    # serializing the per-shard merges
+    return (
+        partials.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(merge_shard, schema=SHARD_SCHEMA)
+    )
+
+
+class ShardedCqf:
+    """Driver-side handle over the distributed shard DataFrame."""
+
+    def __init__(self, shard_df: Any, config: CqfConfig, n_shards: int):
+        self.df = shard_df
+        self.config = config
+        self.n_shards = n_shards
+
+    @classmethod
+    def aggregate(
+        cls,
+        df: Any,
+        key_col: str,
+        config: CqfConfig,
+        n_shards: int = 64,
+        count_col: str | None = None,
+        persist: bool = True,
+    ) -> "ShardedCqf":
+        sdf = build_sharded(df, key_col, config, n_shards, count_col)
+        if persist:
+            sdf = sdf.persist()
+        return cls(sdf, config, n_shards)
+
+    # -- whole-sketch metadata (distributed agg, gqf.c:2134-2186 analog) ---
+    def sum_of_counts(self) -> int:
+        row = self.df.agg({"nelts": "sum"}).collect()[0][0]
+        return int(row or 0)
+
+    def num_distinct(self) -> int:
+        """Exact across shards: shard ranges are disjoint, so per-shard
+        ndistinct values add without double counting."""
+        row = self.df.agg({"ndistinct": "sum"}).collect()[0][0]
+        return int(row or 0)
+
+    # -- probing ------------------------------------------------------------
+    def collect_shards(self) -> dict[int, Cqf]:
+        return {
+            int(r["shard"]): Cqf.from_bytes(bytes(r["sketch"]))
+            for r in self.df.select("shard", "sketch").collect()
+        }
+
+    def merge(self, other: "ShardedCqf") -> "ShardedCqf":
+        """qf_multi_merge across two distributed sketches: union the shard
+        rows, re-merge per shard.  Associative and shuffle-light."""
+        if (self.config, self.n_shards) != (other.config, other.n_shards):
+            raise ValueError("sharded merge requires identical config/shards")
+
+        def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            sks = [Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]]
+            m = Cqf.merge_many(sks)
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "sketch": [m.to_bytes()],
+                    "nelts": [m.nelts],
+                    "ndistinct": [m.ndistinct],
+                    "n_rows": [int(pdf["n_rows"].sum())],
+                }
+            )
+
+        merged = (
+            self.df.unionByName(other.df)
+            .repartition(self.n_shards, "shard")
+            .groupBy("shard")
+            .applyInPandas(merge_shard, schema=SHARD_SCHEMA)
+        )
+        return ShardedCqf(merged, self.config, self.n_shards)
+
+    def count_udf(self, spark: Any):
+        """Broadcast-probe pandas UDF (fits comfortably when the shard set
+        is << executor RAM; at true 10^12 scale use ``count_join``)."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        ensure_shipped(spark)
+        blobs = {
+            int(r["shard"]): bytes(r["sketch"])
+            for r in self.df.select("shard", "sketch").collect()
+        }
+        bc = spark.sparkContext.broadcast(blobs)
+        config = self.config
+        sb = _shard_bits(self.n_shards)
+        shift = np.uint64(config.key_bits + config.value_bits - sb)
+        local_mask = np.uint64((1 << int(shift)) - 1)
+        vb = config.value_bits
+
+        @pandas_udf(LongType())
+        def _count(keys: pd.Series) -> pd.Series:
+            shard_map = bc.value
+            h = hash_series(keys, config)
+            if vb:
+                h = h << np.uint64(vb)
+            shards = (h >> shift).astype(np.int64)
+            local = h & local_mask
+            out = np.zeros(h.size, dtype=np.int64)
+            cache = _count._cache  # type: ignore[attr-defined]
+            for s in np.unique(shards):
+                blob = shard_map.get(int(s))
+                if blob is None:
+                    continue
+                sk = cache.get(int(s))
+                if sk is None:
+                    sk = cache[int(s)] = Cqf.from_bytes(blob)
+                m = shards == s
+                out[m] = sk.count_hashes(local[m]).astype(np.int64)
+            return pd.Series(out)
+
+        _count._cache = {}  # type: ignore[attr-defined]
+        return _count
+
+    def count_join(self, probes: Any, key_col: str) -> Any:
+        """Scale path for probe sets too big to broadcast the other way:
+        route probes to their shard (one shuffle on a tiny int), join with
+        the shard blobs, decode once per (shard, probe-partition) group.
+
+        Returns DataFrame[key_col, approx_count].
+        """
+        from pyspark.sql import functions as F
+
+        config = self.config
+        sb = _shard_bits(self.n_shards)
+        shift = config.key_bits + config.value_bits - sb
+        local_mask = np.uint64((1 << shift) - 1)
+        vb = config.value_bits
+        spark = probes.sparkSession
+        ensure_shipped(spark)
+
+        def probe_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({key_col: [], "approx_count": []})
+            blob = pdf["sketch"].iloc[0]
+            keys = pdf[key_col]
+            h = hash_series(keys, config)
+            if vb:
+                h = h << np.uint64(vb)
+            if blob is None:
+                counts = np.zeros(len(pdf), dtype=np.int64)
+            else:
+                sk = Cqf.from_bytes(bytes(blob))
+                counts = sk.count_hashes(h & local_mask).astype(np.int64)
+            return pd.DataFrame({key_col: keys, "approx_count": counts})
+
+        # shard of each probe computed JVM-side is impossible (murmur is
+        # ours), so compute it in one vectorized pass first
+        def add_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                h = hash_series(pdf[key_col], config)
+                if vb:
+                    h = h << np.uint64(vb)
+                pdf = pdf[[key_col]].copy()
+                pdf["shard"] = (h >> np.uint64(shift)).astype(np.int64)
+                yield pdf
+
+        keyed = probes.select(key_col).mapInPandas(
+            add_shard, schema=f"{key_col} {dict(probes.dtypes)[key_col]}, shard int"
+        )
+        joined = keyed.join(
+            F.broadcast(self.df.select("shard", "sketch")), "shard", "left"
+        )
+        out_type = dict(probes.dtypes)[key_col]
+        return joined.groupBy("shard").applyInPandas(
+            probe_shard, schema=f"{key_col} {out_type}, approx_count long"
+        )
+
+    def items_df(self) -> Any:
+        """Full decode to (hash, count) rows, globally hash-ordered when
+        sorted by (shard, hash) — the distributed qf_iterator."""
+
+        key_shift = np.uint64(self.config.key_bits - _shard_bits(self.n_shards))
+
+        def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for _, r in pdf.iterrows():
+                sk = Cqf.from_bytes(bytes(r["sketch"]))
+                kh, _vals, counts = sk.items()
+                gh = (np.uint64(int(r["shard"])) << key_shift) | kh
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "shard": r["shard"],
+                            "hash": gh.astype(np.int64),
+                            "count": counts.astype(np.int64),
+                        }
+                    )
+                )
+            return (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame({"shard": [], "hash": [], "count": []})
+            )
+
+        return self.df.groupBy("shard").applyInPandas(
+            decode, schema="shard int, hash long, count long"
+        )
