@@ -1,0 +1,101 @@
+"""Similarity-search queries over the embeddings table.
+
+Brute-force top-k has an exact DuckDB oracle (list_cosine_similarity +
+window).  The LSH path is gated by a recall check against the in-Spark
+brute-force truth (boolean the oracle pins TRUE).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ann import brute_force_topk, lsh_topk
+
+K = 10
+N_QUERIES = 5
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    out = brute_force_topk(emb, queries, k=K)
+    # round the score so numpy/duckdb float summation order can't flip it
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cos", 4).alias("cos")
+    )
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH must retrieve a planted near-duplicate as its top hit.
+
+    The test embeddings have no natural near neighbors (max pair cosine
+    ~0.4), where LSH recall is undefined by design — hyperplane buckets
+    only co-locate vectors at small angles.  So plant one: each query is a
+    corpus vector with a deterministic tiny perturbation (cos ~0.999);
+    the gate is 'LSH top-1 == the source vector', which the multi-table
+    config achieves with probability 1 - ~1e-4 per query (8 tables x
+    8 bits at bit-agreement ~0.99)."""
+    emb = _emb(spark, sf_dir)
+    src = emb.where(F.col("vec_id") < N_QUERIES)
+    queries = src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (1.0 + F.sin(i.cast("double")) * 0.01),
+        ).alias("embedding"),
+    )
+    approx = lsh_topk(
+        emb, queries, dim=DIM, k=1, n_bits=8, n_tables=8
+    ).where(F.col("rank") == 1)
+    return (
+        queries.select((F.col("vec_id") - 1_000_000).alias("query_id"))
+        .join(
+            approx.select(
+                (F.col("query_id") - 1_000_000).alias("query_id"),
+                F.col("vec_id").alias("found"),
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (F.col("found") == F.col("query_id")).alias("recall_ok"),
+        )
+    )
+
+
+ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_brute_force_topk": q_ann_brute_force,
+    "ann_lsh_recall": q_ann_lsh_recall,
+}
+
+ANN_ORACLES: dict[str, str] = {
+    "ann_brute_force_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank, vec_id, ROUND(cos, 4) AS cos
+FROM ranked WHERE rank <= {K}
+""",
+    "ann_lsh_recall": (
+        f"SELECT CAST(q AS BIGINT) AS query_id, TRUE AS recall_ok "
+        f"FROM range({N_QUERIES}) t(q)"
+    ),
+}

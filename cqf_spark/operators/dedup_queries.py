@@ -1,0 +1,97 @@
+"""Dedup queries with exact DuckDB oracles.
+
+The exact-dup query plants duplicates deterministically (the driver's
+documents are all unique), using a construction both engines express in
+plain SQL.  The n-gram-Jaccard and MinHash-LSH queries share one oracle:
+exhaustive exact Jaccard — the LSH path must find exactly the same pairs
+(detection probability at j >= 0.8 with 128 perms / 32 bands is
+1 - 5e-8, and seeds are fixed, so the gate is deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    exact_jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by text hash-groupBy over a corpus with planted exact
+    duplicates (every 5th doc copied under id+1000000): keep the smallest
+    id per text group, report group size."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    return corpus.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("copies")
+    ).select("keep_id", "copies")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (j >= 0.8), native joins only."""
+    pairs = exact_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return pairs.select("i", "j", F.round("jac", 6).alias("jac"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands) candidates, exact-verified at j>=0.8 —
+    must equal the exhaustive result."""
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return pairs.select("i", "j", F.round("jac", 6).alias("jac"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs (no SQL oracle: the signature is
+    not SQL-expressible; correctness is unit-tested against brute-force
+    hamming in tests/test_dedup.py)."""
+    sigs = simhash_signatures(_docs(spark, sf_dir))
+    return simhash_pairs(sigs, max_hamming=3).orderBy("i", "j")
+
+
+_JACCARD_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g FROM t),
+sh AS (SELECT DISTINCT doc_id, g FROM sh0),
+pairs AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) inter FROM sh a
+          JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1)
+SELECT i, j, ROUND(jac, 6) AS jac FROM (
+  SELECT p.i, p.j, p.inter * 1.0 / (sa.n + sb.n - p.inter) jac
+  FROM pairs p JOIN sizes sa ON p.i = sa.doc_id
+  JOIN sizes sb ON p.j = sb.doc_id
+) WHERE jac >= 0.8
+"""
+
+DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_text": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+DEDUP_ORACLES: dict[str, str] = {
+    "dedup_exact_text": (
+        "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies "
+        "FROM corpus GROUP BY text"
+    ),
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_minhash_lsh": _JACCARD_ORACLE,
+    # dedup_simhash: intentionally no oracle (rows-only driver check)
+}
