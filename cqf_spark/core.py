@@ -562,6 +562,15 @@ class Cqf:
         """qf_merge (src/gqf.c:2432-2474)."""
         return Cqf.merge_many([self, other], qbits=qbits)
 
+    def subtract(self, other: "Cqf") -> "Cqf":
+        """Merge-with-subtraction: counts of ``other`` removed, clamped at
+        zero (batch qf_remove, src/gqf.c:1982-1998).  This is the merge
+        side of distributed deletes: delete streams build ordinary
+        sketches that subtract instead of add."""
+        self._check_mergeable([self, other])
+        od = other._decode()
+        return self._apply_delta(od.hashes, -od.counts.astype(np.int64))
+
     def intersect(self, other: "Cqf", qbits: int | None = None) -> "Cqf":
         """qf_intersect (src/gqf.c:2583-2613): keep hashes present in both.
 

@@ -178,6 +178,54 @@ def q_merge_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distributed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed delete: the delete stream builds an ordinary sketch that
+    merges with subtraction (qf_remove batched, src/gqf.c:1982-1998) —
+    counts after full.subtract(deletes) equal a build of the surviving
+    rows."""
+    li = load(spark, sf_dir, "lineitem")
+    full = cqf_aggregate(li, "l_suppkey", INT_CONFIG)
+    dels = cqf_aggregate(
+        li.where(F.col("l_linenumber") > 3), "l_suppkey", INT_CONFIG
+    )
+    remaining = full.subtract(dels)
+    probes = (
+        li.where(F.col("l_linenumber") <= 3).select("l_suppkey").distinct()
+    )
+    return probes.select(
+        "l_suppkey", count_udf(spark, remaining)("l_suppkey").alias("approx_count")
+    )
+
+
+def q_zipf_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm.c's Zipfian skew workload (s=1.5, src/bm.c:521, src/zipf.c):
+    sketch counts must stay exact (INVERTIBLE mode) under heavy key skew,
+    and hash-sharding must spread the skewed stream evenly."""
+    from .sharded import ShardedCqf
+    from .zipf import zipf_keys
+
+    keys = zipf_keys(spark, 200_000, universe=100_000, s=1.5).cache()
+    sk = cqf_aggregate(keys, "key", INT_CONFIG)
+    exact = keys.groupBy("key").agg(F.count("*").alias("c"))
+    probe = exact.select(
+        "key", "c", count_udf(spark, sk)("key").alias("est")
+    )
+    bad = probe.where(F.col("est") != F.col("c")).count()
+    # balance is measured in DISTINCT entries: a skewed key's duplicates
+    # collapse to one (hash, count) pair at the partial-build stage, so
+    # per-shard work tracks ndistinct, not raw stream mass (the top Zipf
+    # key alone carries ~38% of rows at s=1.5 and is indivisible in any
+    # counting system)
+    sharded = ShardedCqf.aggregate(keys, "key", INT_CONFIG, n_shards=16)
+    loads = [r["ndistinct"] for r in sharded.df.select("ndistinct").collect()]
+    balanced = max(loads) <= 1.5 * (sum(loads) / len(loads))
+    keys.unpersist()
+    return spark.createDataFrame(
+        [(int(sk.sum_of_counts), bad == 0, bool(balanced))],
+        "n long, counts_exact boolean, shards_balanced boolean",
+    )
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -194,6 +242,8 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_magnitude_partkey": q_magnitude_partkey,
     "cqf_intersect_users": q_intersect_users,
     "cqf_merge_union_counts": q_merge_union_counts,
+    "cqf_distributed_delete": q_distributed_delete,
+    "cqf_zipf_skew": q_zipf_skew,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
@@ -242,5 +292,13 @@ SKETCH_ORACLES: dict[str, str] = {
     ),
     "cqf_merge_union_counts": (
         "SELECT l_suppkey, COUNT(*) AS approx_count FROM lineitem GROUP BY l_suppkey"
+    ),
+    "cqf_distributed_delete": (
+        "SELECT l_suppkey, COUNT(*) AS approx_count FROM lineitem "
+        "WHERE l_linenumber <= 3 GROUP BY l_suppkey"
+    ),
+    "cqf_zipf_skew": (
+        "SELECT CAST(200000 AS BIGINT) AS n, TRUE AS counts_exact, "
+        "TRUE AS shards_balanced"
     ),
 }

@@ -1,0 +1,51 @@
+"""Deterministic Zipfian key stream (the reference's skew workload:
+src/bm.c:106-138, src/zipf.c:58-137 — s defaults to 1.5, samples by
+binary search over a cumulative bucket table).
+
+Spark-native: ``spark.range(n)`` ids are hashed to uniforms (murmur, so
+the stream is identical no matter how rows are partitioned), then mapped
+through the precomputed inverse CDF with one ``searchsorted`` per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.hashing import murmur64a_u64
+
+
+def zipf_cdf(universe: int, s: float = 1.5) -> np.ndarray:
+    ranks = np.arange(1, universe + 1, dtype=np.float64)
+    w = ranks**-s
+    return np.cumsum(w) / w.sum()
+
+
+def zipf_keys(
+    spark: SparkSession,
+    n: int,
+    universe: int = 1_000_000,
+    s: float = 1.5,
+    seed: int = 0x21F,
+    parts: int | None = None,
+) -> DataFrame:
+    """DataFrame[key long] of n Zipf(s) draws over [0, universe) —
+    deterministic in (n, universe, s, seed), independent of partitioning."""
+    cdf = zipf_cdf(universe, s)
+    bc = spark.sparkContext.broadcast(cdf)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = bc.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.int64).view(np.uint64)
+            u = murmur64a_u64(ids, seed).astype(np.float64) / 2.0**64
+            keys = np.searchsorted(table, u, side="left")
+            yield pd.DataFrame({"key": keys.astype(np.int64)})
+
+    rng = spark.range(n)
+    if parts:
+        rng = rng.repartition(parts)
+    return rng.mapInPandas(gen, schema="key long")
