@@ -1,0 +1,60 @@
+"""Physical-plan audits: the properties that matter at 100 TB must be
+visible in explain output — predicate pushdown into the parquet scan,
+column pruning to exactly the consumed columns, broadcast joins for small
+sides, and bounded shuffle counts."""
+
+from pyspark.sql import functions as F
+
+from cqf_spark.aggregator import build_sketches
+from cqf_spark.queries import INT_CONFIG, load
+
+
+def _plan(df, spark) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_build_pushdown_and_pruning(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where("l_quantity > 25")
+    plan = _plan(build_sketches(li, "l_partkey", INT_CONFIG), spark)
+    assert "GreaterThan(l_quantity,25.0)" in plan  # filter reached the scan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" in schema_line and "l_quantity" in schema_line
+    # none of the untouched wide columns are read
+    for col in ("l_extendedprice", "l_comment", "l_shipdate"):
+        assert col not in schema_line
+
+
+def test_token_pipeline_reads_text_only(spark, sf_dir):
+    from cqf_spark.queries import tokens_df
+
+    plan = _plan(tokens_df(spark, sf_dir), spark)
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in schema_line
+    assert "doc_id" not in schema_line and "lang" not in schema_line
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    from cqf_spark.operators.ann import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    plan = _plan(brute_force_topk(emb, q, k=5), spark)
+    assert "Broadcast" in plan  # query side broadcast, corpus never shuffles
+
+
+def test_sharded_build_single_blob_shuffle(spark, sf_dir):
+    from cqf_spark.sharded import build_sharded
+
+    li = load(spark, sf_dir, "lineitem")
+    plan = _plan(build_sharded(li, "l_partkey", INT_CONFIG, n_shards=8), spark)
+    # exchanges: (optional) small-input repartition + the shard blob
+    # exchange; raw keys must never shuffle by key
+    import re
+
+    n_exchanges = len(re.findall(r"\bExchange \(\d+\)", plan))
+    assert n_exchanges <= 2, plan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert schema_line.strip() == "ReadSchema: struct<l_partkey:bigint>"
