@@ -39,6 +39,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import cqf_spark  # noqa: F401  (sets malloc retention env before the JVM forks workers)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
 
