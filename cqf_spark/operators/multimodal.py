@@ -1,0 +1,261 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` cells with
+typed metadata, processed by Arrow-batched UDFs.
+
+The decode kernels (JPEG/PNG pixel decode, audio PCM decode, video frame
+demux) are STUBS — the imaging/audio libraries are not available in this
+environment — but everything Spark-side is real and tested: schemas,
+batch shapes, partitioning, metadata propagation, feature extraction over
+the raw bytes, and frame/window sampling logic.  Each stub is clearly
+marked and either raises ``NotImplementedError`` (strict mode) or
+produces a deterministic fake derived from the byte content (default), so
+pipelines are end-to-end runnable and oracle-checkable.
+
+Media table shape::
+
+    (media_id long, media_type string, media binary,
+     meta struct<size_bytes, width, height, channels,
+                 sample_rate, n_frames>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "meta struct<size_bytes: long, width: int, height: int, channels: int, "
+    "sample_rate: int, n_frames: int>"
+)
+MEDIA_SCHEMA = f"media_id long, media_type string, media binary, {META_SCHEMA}"
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic opaque-media table derived from the webtext pages:
+    the page bytes stand in for encoded media; type/metadata are pure
+    functions of (doc_id, byte length) so DuckDB oracles can recompute
+    them.  Native SQL expressions only."""
+    from ..webtext import synth_webtext
+
+    pages = synth_webtext(spark, sf_dir)
+    size = F.length(F.col("html")).cast("long")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    width = (F.lit(16) + F.pmod(size, F.lit(64))).cast("int")
+    height = (F.lit(16) + F.pmod(size * 7, F.lit(64))).cast("int")
+    meta = F.struct(
+        size.alias("size_bytes"),
+        F.when(mtype != "audio", width).otherwise(F.lit(0)).alias("width"),
+        F.when(mtype != "audio", height).otherwise(F.lit(0)).alias("height"),
+        F.when(mtype == "image", F.lit(3)).otherwise(F.lit(0)).alias("channels"),
+        F.when(mtype == "audio", F.lit(16000)).otherwise(F.lit(0)).alias(
+            "sample_rate"
+        ),
+        F.when(mtype == "video", (F.pmod(size, F.lit(48)) + 1).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("n_frames"),
+    )
+    return pages.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.col("html").alias("media"),
+        meta.alias("meta"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# decode stubs (clearly marked)
+# --------------------------------------------------------------------- #
+
+def _decode_image_stub(buf: bytes, width: int, height: int, strict: bool):
+    """STUB: a real implementation would decode JPEG/PNG bytes to an
+    (h, w, 3) uint8 array (no imaging library in this container)."""
+    if strict:
+        raise NotImplementedError("image decode requires an imaging library")
+    # deterministic fake: tile the raw bytes into the declared shape
+    need = width * height * 3
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    reps = int(np.ceil(need / max(raw.size, 1)))
+    return np.tile(raw, reps)[:need].reshape(height, width, 3)
+
+
+def _decode_audio_stub(buf: bytes, strict: bool):
+    """STUB: a real implementation would decode to float32 PCM."""
+    if strict:
+        raise NotImplementedError("audio decode requires an audio library")
+    raw = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+    return (raw - 127.5) / 127.5
+
+
+# --------------------------------------------------------------------- #
+# real Spark plumbing over the stubs
+# --------------------------------------------------------------------- #
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-item features: byte stats computed on the REAL bytes + modality
+    features from the (stubbed) decode.  One Arrow batch in, one out;
+    media bytes are dropped batch-by-batch."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "size_bytes": [],
+                "byte_mean": [],
+                "byte_entropy": [],
+                "feat_dim": [],
+            }
+            for _, r in pdf.iterrows():
+                buf = bytes(r["media"])
+                raw = np.frombuffer(buf, dtype=np.uint8)
+                out["size_bytes"].append(len(buf))
+                out["byte_mean"].append(
+                    round(float(raw.mean()), 4) if raw.size else 0.0
+                )
+                hist = np.bincount(raw, minlength=256).astype(np.float64)
+                p = hist[hist > 0] / max(raw.size, 1)
+                out["byte_entropy"].append(
+                    round(float(-(p * np.log2(p)).sum()), 4) if raw.size else 0.0
+                )
+                meta = r["meta"]
+                if r["media_type"] == "image":
+                    px = _decode_image_stub(
+                        buf, meta["width"], meta["height"], strict
+                    )
+                    out["feat_dim"].append(int(np.prod(px.shape)))
+                elif r["media_type"] == "audio":
+                    pcm = _decode_audio_stub(buf, strict)
+                    out["feat_dim"].append(int(pcm.size))
+                else:
+                    out["feat_dim"].append(int(meta["n_frames"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        feats,
+        schema=(
+            "media_id long, media_type string, size_bytes long, "
+            "byte_mean double, byte_entropy double, feat_dim long"
+        ),
+    )
+
+
+def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
+    """Frame sampling for video rows: explode declared frames, keep every
+    n-th — pure native expressions (the demux itself would live in the
+    decode stub); one output row per sampled frame."""
+    vid = media.where(F.col("media_type") == "video")
+    frames = F.filter(
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1),
+        lambda i: i % every_nth == 0,
+    )
+    return vid.select(
+        "media_id", F.explode(frames).alias("frame_idx")
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize planning (aspect-preserving target dims) as native SQL —
+    the pixel resample would happen inside the decode stub."""
+    img = media.where(F.col("media_type") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0)
+    )
+    return img.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("out_h"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# queries + oracles
+# --------------------------------------------------------------------- #
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(synth_media(spark, sf_dir))
+    # feat_dim is SQL-derivable from the synthesized metadata; byte stats
+    # over binary cells are not SQL-expressible -> checked in unit tests
+    return feats.select("media_id", "media_type", "size_bytes", "feat_dim")
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(synth_media(spark, sf_dir), every_nth=5)
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(synth_media(spark, sf_dir), max_side=32)
+
+
+_SIZE_SQL = """
+WITH esc AS (
+  SELECT doc_id, lang,
+         replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>',
+                 '&gt;') AS body,
+         'https://' || source || '.example.org/page-' || doc_id || '.html'
+           AS url
+  FROM documents),
+page AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN length('<!DOCTYPE html><html lang="' || lang ||
+             '"><head><title>doc ' || doc_id ||
+             '</title><script>var x = 1 < 2 && 3 > 2;</script></head>' ||
+             '<body><main><p>' || body || '</p></main></body></html>')
+           WHEN 1 THEN length('<html><head><style>.c {{ color: #000; }}' ||
+             '</style><meta charset="utf-8"></head><body>' ||
+             '<div id=''main''><p>' || body || '</p></div></body></html>')
+           WHEN 2 THEN length('<html><body><!-- crawler: ' || url ||
+             ' --><article><h1>Doc ' || doc_id || '</h1><p>' || body ||
+             '</p></article></body></html>')
+           ELSE length('<html><body onload="init()">' ||
+             '<section class="post"><p>' || body ||
+             '</p></section></body></html>')
+         END AS size_bytes
+  FROM esc)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       size_bytes,
+       16 + size_bytes % 64 AS width,
+       16 + (size_bytes * 7) % 64 AS height,
+       size_bytes % 48 + 1 AS n_frames
+FROM page
+"""
+
+MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+    "media_resize_plan": q_media_resize_plan,
+}
+
+MULTIMODAL_ORACLES: dict[str, str] = {
+    "media_features": (
+        f"WITH m AS ({_SIZE_SQL}) SELECT media_id, media_type, size_bytes, "
+        "CAST(CASE media_type WHEN 'image' THEN (16 + size_bytes % 64) * "
+        "(16 + (size_bytes * 7) % 64) * 3 WHEN 'audio' THEN size_bytes "
+        "ELSE n_frames END AS BIGINT) AS feat_dim FROM m"
+    ),
+    "media_frame_sample": (
+        f"WITH m AS ({_SIZE_SQL}) SELECT media_id, "
+        "CAST(unnest(list_filter(range(0, n_frames), i -> i % 5 = 0)) "
+        "AS BIGINT) AS frame_idx FROM m WHERE media_type = 'video'"
+    ),
+    "media_resize_plan": (
+        f"WITH m AS ({_SIZE_SQL}) SELECT media_id, CAST(width AS INT) AS width, "
+        "CAST(height AS INT) AS height, "
+        "CAST(GREATEST(FLOOR(width * LEAST(32.0/width, 32.0/height, 1.0)), 1) "
+        "AS INT) AS out_w, "
+        "CAST(GREATEST(FLOOR(height * LEAST(32.0/width, 32.0/height, 1.0)), 1) "
+        "AS INT) AS out_h FROM m WHERE media_type = 'image'"
+    ),
+}

@@ -23,6 +23,7 @@ for _mod, _q, _o in [
     ("text_queries", "TEXT_QUERIES", "TEXT_ORACLES"),
     ("ann_queries", "ANN_QUERIES", "ANN_ORACLES"),
     ("sketch_family_queries", "FAMILY_QUERIES", "FAMILY_ORACLES"),
+    ("multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
 ]:
     try:
         _m = __import__(f"cqf_spark.operators.{_mod}", fromlist=[_q, _o])

@@ -193,3 +193,52 @@ def url_host_stream(pages: DataFrame) -> DataFrame:
     return pages.select(
         F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
     )
+
+
+def build_token_sketches(pages: DataFrame, config):
+    """Fused pipeline stage: html->text extraction, tokenization, hashing
+    and per-partition CQF build in ONE ``mapInPandas`` pass.
+
+    The unfused form (extract stage -> explode -> build stage) ships every
+    token string across two Arrow boundaries and runs two chained python
+    workers per task; fusing keeps tokens as in-worker arrays from
+    extraction to sketch, which is both faster and the memory-sane shape
+    at 100 TB (token strings never materialize outside the worker).
+
+    Returns DataFrame[sketch binary, nelts long, n_rows long] (one row per
+    partition) — feed to ``aggregator.tree_merge``.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .aggregator import ensure_shipped
+    from .core import Cqf
+    from .functions.hashing import murmur64a_bytes
+
+    ensure_shipped(pages.sparkSession)
+    mask = np.uint64((1 << config.key_bits) - 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks: list[np.ndarray] = []
+        n_rows = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            text = extract_text_series(pdf["html"])
+            toks: list[bytes] = []
+            for t in text:
+                toks.extend(x.encode("utf-8") for x in t.split(" ") if x)
+            if toks:
+                n_rows += len(toks)
+                chunks.append(murmur64a_bytes(toks, config.seed) & mask)
+        h = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+        sk = Cqf.from_hashes(config, h)
+        yield pd.DataFrame(
+            {"sketch": [sk.to_bytes()], "nelts": [sk.nelts], "n_rows": [n_rows]}
+        )
+
+    return pages.select("html").mapInPandas(
+        run, schema="sketch binary, nelts long, n_rows long"
+    )

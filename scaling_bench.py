@@ -70,18 +70,16 @@ def webtext_job(spark, cores: int) -> tuple[int, float]:
     serial tail — parallelism level only changes how many task waves run."""
     from pyspark.sql import functions as F
 
+    from cqf_spark.aggregator import tree_merge
     from cqf_spark.queries import TOKEN_CONFIG
-    from cqf_spark.sharded import ShardedCqf
-    from cqf_spark.webtext import synth_webtext, token_stream, with_extracted_text
+    from cqf_spark.webtext import build_token_sketches, synth_webtext
 
     pages = synth_webtext(spark, SF_DIR).select("url", "html")
     reps = spark.range(REPL).select(F.col("id").alias("rep"))
     big = pages.crossJoin(reps).repartition(FIXED_PARTS, "url", "rep")
-    toks = token_stream(with_extracted_text(big))
     t0 = time.time()
-    sk = ShardedCqf.aggregate(toks, "token", TOKEN_CONFIG, n_shards=FIXED_PARTS,
-                              persist=False)
-    n = sk.sum_of_counts()
+    sk = tree_merge(build_token_sketches(big, TOKEN_CONFIG))
+    n = sk.nelts
     dt = time.time() - t0
     return n, dt
 
