@@ -12,7 +12,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ann import brute_force_topk, lsh_topk
+from .ann import brute_force_topk, cosine_near_dup_pairs, lsh_topk
 
 K = 10
 N_QUERIES = 5
@@ -72,9 +72,21 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate mining (>= 0.95) via hyperplane
+    bucket candidates + exact verification.  The synthetic embeddings have
+    no such pairs (max pair cosine ~0.4), so the gate asserts the pipeline
+    runs and produces no false positives; planted-pair retrieval is
+    unit-tested in tests/test_pipeline_ops.py."""
+    emb = _emb(spark, sf_dir)
+    out = cosine_near_dup_pairs(emb, dim=DIM, threshold=0.95)
+    return out.select("i", "j", F.round("cos", 4).alias("cos"))
+
+
 ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force_topk": q_ann_brute_force,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "dedup_embedding_cosine": q_embedding_near_dups,
 }
 
 ANN_ORACLES: dict[str, str] = {
@@ -97,5 +109,13 @@ FROM ranked WHERE rank <= {K}
     "ann_lsh_recall": (
         f"SELECT CAST(q AS BIGINT) AS query_id, TRUE AS recall_ok "
         f"FROM range({N_QUERIES}) t(q)"
+    ),
+    "dedup_embedding_cosine": (
+        "SELECT a.vec_id AS i, b.vec_id AS j, "
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4) AS cos "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.95"
     ),
 }

@@ -42,9 +42,12 @@ def q_extract_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram frequencies over extracted text via a distributed CQF."""
+    """Word-bigram frequencies over extracted text via a distributed CQF.
+
+    The gram stream is cached: it feeds both the sketch build and the
+    distinct-probe side, and recomputing it would re-run extraction."""
     pages = _pages(spark, sf_dir)
-    grams = ngram_stream(pages, 2)
+    grams = ngram_stream(pages, 2).cache()
     sketch = cqf_aggregate(grams, "ngram", NGRAM_CONFIG)
     return grams.distinct().select(
         "ngram", count_udf(spark, sketch)("ngram").alias("approx_count")

@@ -226,6 +226,18 @@ def q_zipf_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-key representation end-to-end: hash-range-sharded build
+    (sketch stays a DataFrame) probed through the shard-join path —
+    nothing ever centralizes on the driver."""
+    from .sharded import ShardedCqf
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = ShardedCqf.aggregate(li, "l_partkey", INT_CONFIG, n_shards=16)
+    probes = li.select("l_partkey").distinct()
+    return sk.count_join(probes, "l_partkey")
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -244,6 +256,7 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_merge_union_counts": q_merge_union_counts,
     "cqf_distributed_delete": q_distributed_delete,
     "cqf_zipf_skew": q_zipf_skew,
+    "cqf_sharded_multiplicity": q_sharded_multiplicity,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
@@ -300,5 +313,9 @@ SKETCH_ORACLES: dict[str, str] = {
     "cqf_zipf_skew": (
         "SELECT CAST(200000 AS BIGINT) AS n, TRUE AS counts_exact, "
         "TRUE AS shards_balanced"
+    ),
+    "cqf_sharded_multiplicity": (
+        "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem "
+        "GROUP BY l_partkey"
     ),
 }

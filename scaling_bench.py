@@ -127,10 +127,28 @@ def run_level(cores: int, trials: int = 1) -> dict:
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        # warm the python worker daemons with a real Arrow roundtrip
-        spark.range(100_000).mapInPandas(
-            lambda it: it, "id long"
-        ).selectExpr("count(1)").collect()
+        # Warm EVERY worker's memory arenas with representative work before
+        # timing: forked workers must first-touch their heap pages, which on
+        # lazily-backed VM memory costs ~1ms/page — and the 4N level pays 4x
+        # more of it, systematically biasing the comparison if unwarmed.
+        import numpy as _np
+        import pandas as _pd
+
+        def _warm(batches):
+            rng = _np.random.default_rng(0)
+            a = rng.integers(0, 2**62, 2_000_000).astype(_np.uint64)
+            for _ in range(3):
+                _np.sort(a)
+            s = _pd.Series(["warm up the arena pages " * 8] * 30_000)
+            s.str.replace("warm", "hot", regex=True)
+            n = 0
+            for pdf in batches:
+                n += len(pdf)
+            yield _pd.DataFrame({"n": [n]})
+
+        spark.range(1_000_000).repartition(cores * 2).mapInPandas(
+            _warm, "n long"
+        ).selectExpr("sum(n)").collect()
         snap = _steal_pct()
         wt, core = [], []
         for _ in range(trials):

@@ -70,5 +70,7 @@ def test_resize_plan_aspect_preserving(spark, sf_dir):
     for r in plans:
         assert 1 <= r.out_w <= 32 and 1 <= r.out_h <= 32
         if r.width > 32 or r.height > 32:
-            # aspect ratio preserved within rounding
-            assert abs(r.out_w / r.out_h - r.width / r.height) < 0.25
+            # aspect ratio preserved within floor-rounding (small output
+            # dims can shift the ratio by up to ~1/min_dim relatively)
+            rel = (r.out_w / r.out_h) / (r.width / r.height)
+            assert abs(rel - 1.0) < 1.0 / min(r.out_w, r.out_h) + 0.05
