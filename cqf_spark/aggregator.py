@@ -329,3 +329,61 @@ def query_value_udf(spark: Any, sketch: Cqf):
         return pd.Series(out)
 
     return _value
+
+
+def build_sketches_grouped(
+    df: Any,
+    group_col: str,
+    key_col: str,
+    config: CqfConfig,
+    fan_in: int = 64,
+) -> Any:
+    """GROUP BY + sketch aggregation: one merged CQF per group value,
+    returned as DataFrame[group, sketch, nelts, ndistinct].
+
+    Shape: each input partition builds one partial sketch PER GROUP seen
+    locally (map-side partial aggregation — raw keys never shuffle), then
+    one blob shuffle groups partials by group value and merges
+    (qf_multi_merge per group).  Group skew is bounded: a group's shuffle
+    payload is its partial-sketch count, not its row count.
+    """
+    from pyspark.sql import functions as F
+
+    ensure_shipped(df.sparkSession)
+    pruned = ensure_parallelism(df.select(group_col, key_col))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[Any, list[np.ndarray]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for g, sub in pdf.groupby(group_col, sort=False):
+                acc.setdefault(g, []).append(hash_series(sub[key_col], config))
+        rows = {"group": [], "sketch": [], "nelts": [], "ndistinct": []}
+        for g, chunks in acc.items():
+            sk = Cqf.from_hashes(config, np.concatenate(chunks))
+            rows["group"].append(g)
+            rows["sketch"].append(sk.to_bytes())
+            rows["nelts"].append(sk.nelts)
+            rows["ndistinct"].append(sk.ndistinct)
+        yield pd.DataFrame(rows)
+
+    gtype = dict(pruned.dtypes)[group_col]
+    schema = f"group {gtype}, sketch binary, nelts long, ndistinct long"
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = Cqf.merge_many([Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]])
+        return pd.DataFrame(
+            {
+                "group": [pdf["group"].iloc[0]],
+                "sketch": [m.to_bytes()],
+                "nelts": [m.nelts],
+                "ndistinct": [m.ndistinct],
+            }
+        )
+
+    return (
+        pruned.mapInPandas(build, schema=schema)
+        .groupBy("group")
+        .applyInPandas(merge_group, schema=schema)
+    )

@@ -226,6 +226,21 @@ def q_zipf_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + sketch agg: one CQF per event_type in a single pass
+    (map-side partials per group, blob-only shuffle) — per-group stream
+    length and distinct-user counts, exact in INVERTIBLE mode."""
+    from .aggregator import build_sketches_grouped
+
+    ev = load(spark, sf_dir, "events")
+    out = build_sketches_grouped(ev, "event_type", "user_id", INT_CONFIG)
+    return out.select(
+        F.col("group").alias("event_type"),
+        F.col("nelts").alias("n_events"),
+        F.col("ndistinct").alias("n_users"),
+    )
+
+
 def q_sharded_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 10^12-key representation end-to-end: hash-range-sharded build
     (sketch stays a DataFrame) probed through the shard-join path —
@@ -257,6 +272,7 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_distributed_delete": q_distributed_delete,
     "cqf_zipf_skew": q_zipf_skew,
     "cqf_sharded_multiplicity": q_sharded_multiplicity,
+    "cqf_grouped_sketch_stats": q_grouped_sketch_stats,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
@@ -317,5 +333,9 @@ SKETCH_ORACLES: dict[str, str] = {
     "cqf_sharded_multiplicity": (
         "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem "
         "GROUP BY l_partkey"
+    ),
+    "cqf_grouped_sketch_stats": (
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
     ),
 }
