@@ -80,8 +80,9 @@ def q_membership_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: how often does each token appear in the corpus?
-    (SURVEY.md §7 phase 2 — the minimum end-to-end slice.)"""
-    toks = tokens_df(spark, sf_dir)
+    (SURVEY.md §7 phase 2 — the minimum end-to-end slice.)  The token
+    stream feeds both the build and the probe side, so it is cached."""
+    toks = tokens_df(spark, sf_dir).cache()
     sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
     return toks.distinct().select(
         "token", count_udf(spark, sketch)("token").alias("approx_count")
@@ -91,7 +92,7 @@ def q_token_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: tokens with frequency >= 20 (threshold form keeps the
     result deterministic for the oracle compare)."""
-    toks = tokens_df(spark, sf_dir)
+    toks = tokens_df(spark, sf_dir).cache()
     sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
     cnt = count_udf(spark, sketch)("token").alias("cnt")
     return toks.distinct().select("token", cnt).where(F.col("cnt") >= 20)
@@ -139,10 +140,22 @@ def _event_sketch(spark: SparkSession, sf_dir: str, etype: str):
 
 
 def q_inner_product_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """qf_inner_product (src/gqf.c:2547): sum(count_click * count_view)."""
-    a = _event_sketch(spark, sf_dir, "click")
-    b = _event_sketch(spark, sf_dir, "view")
-    return spark.createDataFrame([(a.inner_product(b),)], "ip long")
+    """qf_inner_product (src/gqf.c:2547): sum(count_click * count_view).
+    Both sketches come from ONE scan via the grouped builder."""
+    from .aggregator import build_sketches_grouped
+    from .core import Cqf
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    rows = {
+        r["group"]: Cqf.from_bytes(bytes(r["sketch"]))
+        for r in build_sketches_grouped(
+            ev, "event_type", "user_id", INT_CONFIG
+        ).collect()
+    }
+    ip = rows["click"].inner_product(rows["view"]) if len(rows) == 2 else 0
+    return spark.createDataFrame([(ip,)], "ip long")
 
 
 def q_magnitude_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:

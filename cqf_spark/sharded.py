@@ -345,3 +345,39 @@ class ShardedCqf:
         return self.df.groupBy("shard").applyInPandas(
             decode, schema="shard int, hash long, count long"
         )
+
+
+def save_sharded(sk: "ShardedCqf", path: str) -> None:
+    """Persist the distributed sketch as parquet shard rows + a config
+    manifest (the distributed analog of qf_serialize-to-file,
+    src/gqf_file.c:264-278) — written by executors, no driver collect."""
+    import json
+    import os
+    from dataclasses import asdict
+
+    sk.df.write.mode("overwrite").parquet(os.path.join(path, "shards"))
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {"config": asdict(sk.config), "n_shards": sk.n_shards}, f
+        )
+
+
+def load_sharded(spark: Any, path: str) -> "ShardedCqf":
+    """Re-open a persisted sharded sketch; validates the manifest (the
+    qf_usefile magic/version check, src/gqf_file.c:157-160 analog)."""
+    import json
+    import os
+
+    from .config import HashMode
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    cfg = m["config"]
+    config = CqfConfig(
+        key_bits=cfg["key_bits"],
+        value_bits=cfg["value_bits"],
+        hash_mode=HashMode(cfg["hash_mode"]),
+        seed=cfg["seed"],
+    )
+    df = spark.read.parquet(os.path.join(path, "shards"))
+    return ShardedCqf(df, config, int(m["n_shards"]))

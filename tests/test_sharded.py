@@ -78,3 +78,17 @@ def test_sharded_config_guard(spark, sf_dir):
         a.merge(b)
     with pytest.raises(ValueError):
         build_sharded(df, "l_suppkey", CFG, n_shards=12)  # not a power of two
+
+def test_sharded_save_load(spark, sf_dir, tmp_path):
+    from cqf_spark.sharded import load_sharded, save_sharded
+
+    df = _li(spark, sf_dir)
+    sk = ShardedCqf.aggregate(df, "l_partkey", CFG, n_shards=8)
+    save_sharded(sk, str(tmp_path / "sk"))
+    back = load_sharded(spark, str(tmp_path / "sk"))
+    assert back.config == sk.config and back.n_shards == 8
+    assert back.sum_of_counts() == sk.sum_of_counts()
+    assert back.num_distinct() == sk.num_distinct()
+    a = {r["shard"]: bytes(r["sketch"]) for r in sk.df.collect()}
+    b = {r["shard"]: bytes(r["sketch"]) for r in back.df.collect()}
+    assert a == b
