@@ -97,6 +97,8 @@ def hash_series(s: pd.Series, config: CqfConfig) -> np.ndarray:
         data = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals]
         mask = (1 << config.key_bits) - 1
         return murmur64a_bytes(data, config.seed) & np.uint64(mask)
+    if s.isna().any():
+        s = s.fillna(0)  # callers mask null rows out of results/builds
     arr = s.to_numpy()
     if arr.dtype.kind == "f":
         arr = arr.astype(np.int64)
@@ -155,9 +157,9 @@ def build_sketches(
         cols.append(count_col)
     if value_col:
         cols.append(value_col)
-    pruned = ensure_parallelism(df.select(*cols)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    pruned = ensure_parallelism(
+        df.select(*cols).where(F.col(key_col).isNotNull())
+    ).withColumn("__pid", F.spark_partition_id())
     vb = config.value_bits
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -289,7 +291,9 @@ def count_udf(spark: Any, sketch: Cqf):
         sk = _cached_sketch(blob.value)
         h = hash_series(keys, config)
         # keys are hashed here, then counted against pre-hashed content
-        return pd.Series(sk.count_hashes(h).astype(np.int64))
+        out = sk.count_hashes(h).astype(np.int64)
+        out[keys.isna().to_numpy()] = 0
+        return pd.Series(out)
 
     return _count
 
@@ -307,7 +311,9 @@ def contains_udf(spark: Any, sketch: Cqf):
     def _contains(keys: pd.Series) -> pd.Series:
         sk = _cached_sketch(blob.value)
         h = hash_series(keys, config)
-        return pd.Series(sk.count_hashes(h) > 0)
+        out = sk.count_hashes(h) > 0
+        out[keys.isna().to_numpy()] = False
+        return pd.Series(out)
 
     return _contains
 

@@ -76,8 +76,12 @@ def build_sharded(
     local_mask = np.uint64((1 << int(shift)) - 1)
     local_cfg = _local_config(config, sb)
     ensure_shipped(df.sparkSession)
+    from pyspark.sql import functions as F
+
     cols = [key_col] + ([count_col] if count_col else [])
-    pruned = ensure_parallelism(df.select(*cols))
+    pruned = ensure_parallelism(
+        df.select(*cols).where(F.col(key_col).isNotNull())
+    )
     vb = config.value_bits
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

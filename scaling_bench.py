@@ -24,7 +24,8 @@ Two workloads:
   2. **core build+merge**: pre-materialized integer key stream -> CQF
      build -> merge.  Throughput = inserts/s (bm.c's insert metric).
 
-Writes one JSON line to stdout and refreshes BENCH.md.
+Writes one JSON line to stdout and SCALING_LAST.json; BENCH.md is
+hand-maintained from these results.
 
 Run: ``python scaling_bench.py [N]``  (defaults N=8, replication sized so
 the 4N run takes tens of seconds; set SPARK_GRAFT_SCALE_REPL to override).
@@ -263,30 +264,16 @@ def main() -> None:
         "replication": REPL,
     }
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
-        f.write(
-            "# BENCH — scaling evidence (north rule: efficiency >= 0.8 from N to 4N)\n\n"
-            "Same job, same input, two parallelism levels (the sandbox stand-in\n"
-            "for N vs 4N executors; see BASELINE.json north_rule).\n\n"
-            f"- input: {SF_DIR} webtext pages x{REPL} replication\n"
-            f"- low:  local[{lo['cores']}]  webtext {lo['webtext_tokens_per_s']:,.0f} tok/s"
-            f" ({lo['webtext_tokens']:,} tokens in {lo['webtext_s']}s),"
-            f" core build+merge {lo['core_inserts_per_s']:,.0f} inserts/s\n"
-            f"- high: local[{hi['cores']}] webtext {hi['webtext_tokens_per_s']:,.0f} tok/s"
-            f" ({hi['webtext_tokens']:,} tokens in {hi['webtext_s']}s),"
-            f" core build+merge {hi['core_inserts_per_s']:,.0f} inserts/s\n\n"
-            f"**Scaling efficiency: webtext {eff_wt:.3f}, core {eff_core:.3f}"
-            f" (target >= 0.8: {'PASS' if out['pass_0.8'] else 'FAIL'})**\n\n"
-            f"Hardware control (plain numpy, K independent processes, no\n"
-            f"Spark): parallel efficiency {control['efficiency']:.2f} from\n"
-            f"{n} to {4*n} processes — the machine's own ceiling for this\n"
-            f"workload class.  This VM's 32 vCPUs share one memory bus that\n"
-            f"saturates at ~10 effective cores for sort/hash-heavy vector\n"
-            f"work, so N={n} is the largest honest scale point in-box; real\n"
-            f"N->4N *executor* scale-out adds a memory bus per host and does\n"
-            f"not hit this cliff.\n\n"
-            f"Reproduce: `python scaling_bench.py {n}`\n"
-        )
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALING_LAST.json"
+        ),
+        "w",
+    ) as f:
+        f.write(json.dumps(out) + "\n")
+    # BENCH.md is hand-maintained from these results (it carries the
+    # measured environment-caveat narrative); this script no longer
+    # overwrites it.
 
 
 if __name__ == "__main__":

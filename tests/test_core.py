@@ -234,3 +234,30 @@ def test_items_from_range_scan():
     h, c = sk.items_from(500)
     assert int(h[0]) == 500
     assert h.size == 50
+
+
+def test_null_keys_dropped_and_probes_safe(spark):
+    """Null keys never enter a sketch; null probes return 0/False."""
+    from cqf_spark.aggregator import (
+        contains_udf,
+        count_udf,
+        cqf_aggregate,
+    )
+    from cqf_spark.config import CqfConfig, HashMode
+
+    cfg = CqfConfig(key_bits=48, hash_mode=HashMode.INVERTIBLE, seed=5)
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,)], "k long"
+    )
+    sk = cqf_aggregate(df, "k", cfg)
+    assert sk.sum_of_counts == 3 and sk.num_distinct == 2
+    probes = spark.createDataFrame([(1,), (None,), (7,)], "k long")
+    rows = probes.select(
+        "k",
+        count_udf(spark, sk)("k").alias("c"),
+        contains_udf(spark, sk)("k").alias("m"),
+    ).collect()
+    got = {r.k: (r.c, r.m) for r in rows}
+    assert got[1] == (2, True)
+    assert got[None] == (0, False)
+    assert got[7] == (0, False)
