@@ -15,3 +15,20 @@ for _k, _v in (
     ("MALLOC_ARENA_MAX", "4"),
 ):
     os.environ.setdefault(_k, _v)
+
+# The env vars above only take effect in processes started AFTER this point
+# (Spark python workers, subprocess benches).  For the CURRENT process —
+# whose glibc already parsed its env — apply the same policy via mallopt(3):
+# M_MMAP_THRESHOLD=-3 (big numpy temps from the reusable heap, not fresh
+# mmaps) and M_TRIM_THRESHOLD=-1 (never hand freed pages back).  Without
+# this, every ~100MB hash/build temp is a fresh mmap whose first touch
+# costs ~1ms/page on this lazily-backed VM — a 100x slowdown measured on
+# murmur64a_concat (60s cold vs 0.6s warm at 2M keys).
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, (1 << 31) - 1)  # M_TRIM_THRESHOLD
+except Exception:  # non-glibc platform: env vars alone must do
+    pass

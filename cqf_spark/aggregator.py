@@ -32,7 +32,7 @@ import pandas as pd
 
 from .config import CqfConfig, HashMode
 from .core import Cqf, hash_keys
-from .functions.hashing import fingerprint_bytes, murmur64a_bytes
+from .functions.hashing import fingerprint_bytes, murmur64a_arrow
 
 _SHIPPED: set[int] = set()
 
@@ -93,16 +93,44 @@ def hash_series(s: pd.Series, config: CqfConfig) -> np.ndarray:
     if s.dtype == object or pd.api.types.is_string_dtype(s.dtype):
         if config.hash_mode != HashMode.DEFAULT:
             raise ValueError("string keys require HashMode.DEFAULT")
-        vals = s.fillna("").astype(str).to_numpy(dtype=object)
-        data = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals]
+        import pyarrow as pa
+
+        # one C-level conversion to Arrow, then buffer-direct murmur —
+        # no per-row .encode loop (VERDICT r01 #1)
+        arr = pa.Array.from_pandas(s)
         mask = (1 << config.key_bits) - 1
-        return murmur64a_bytes(data, config.seed) & np.uint64(mask)
+        return murmur64a_arrow(arr, config.seed) & np.uint64(mask)
     if s.isna().any():
         s = s.fillna(0)  # callers mask null rows out of results/builds
     arr = s.to_numpy()
     if arr.dtype.kind == "f":
         arr = arr.astype(np.int64)
     return hash_keys(arr.astype(np.int64).view(np.uint64), config)
+
+
+def hash_arrow(arr: Any, config: CqfConfig) -> np.ndarray:
+    """Hash one Arrow column (from a ``mapInArrow`` RecordBatch) into the
+    sketch universe — the zero-Python-object twin of :func:`hash_series`."""
+    import pyarrow as pa
+
+    t = arr.type
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_string_view(t)
+        or pa.types.is_binary_view(t)
+        or pa.types.is_dictionary(t)
+    ):
+        if config.hash_mode != HashMode.DEFAULT:
+            raise ValueError("string keys require HashMode.DEFAULT")
+        mask = (1 << config.key_bits) - 1
+        return murmur64a_arrow(arr, config.seed) & np.uint64(mask)
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if np_arr.dtype.kind == "f":
+        np_arr = np.nan_to_num(np_arr).astype(np.int64)
+    return hash_keys(np_arr.astype(np.int64).view(np.uint64), config)
 
 
 def ensure_parallelism(df: Any, min_parts: int | None = None) -> Any:
@@ -162,28 +190,40 @@ def build_sketches(
     ).withColumn("__pid", F.spark_partition_id())
     vb = config.value_bits
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow: string keys go Arrow buffers -> murmur directly; Python
+    # string objects are never materialized on the build path.
+    def build(batches: Iterator[Any]) -> Iterator[Any]:
+        import pyarrow as pa
+
         t0 = _time.time()
         hash_chunks: list[np.ndarray] = []
         count_chunks: list[np.ndarray] = []
         n_rows = 0
         part_id = -1
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            part_id = int(pdf["__pid"].iloc[0])
-            n_rows += len(pdf)
-            h = hash_series(pdf[key_col], config)
+            names = rb.schema.names
+            part_id = int(rb.column(names.index("__pid"))[0].as_py())
+            n_rows += rb.num_rows
+            h = hash_arrow(rb.column(names.index(key_col)), config)
             if value_col:
                 # pack value bits next to the remainder (src/gqf.c:1925-1926)
-                v = pdf[value_col].to_numpy().astype(np.int64).view(np.uint64)
+                v = (
+                    rb.column(names.index(value_col))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
                 h = (h << np.uint64(vb)) | (v & np.uint64((1 << vb) - 1))
             elif vb:
                 h = h << np.uint64(vb)
             hash_chunks.append(h)
             if count_col:
                 count_chunks.append(
-                    pdf[count_col].to_numpy().astype(np.uint64)
+                    rb.column(names.index(count_col))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
                 )
         hashes = (
             np.concatenate(hash_chunks)
@@ -193,23 +233,22 @@ def build_sketches(
         counts = np.concatenate(count_chunks) if count_chunks else None
         sk = Cqf.from_hashes(config, hashes, counts, qbits=qbits_hint)
         blob = sk.to_bytes()
-        blob_hash = fingerprint_bytes(blob)
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
-                "part_id": [part_id],
-                "sketch": [blob],
-                "nelts": [sk.nelts],
-                "ndistinct": [sk.ndistinct],
-                "noccupied": [sk.noccupied],
-                "qbits": [sk.geom.qbits],
-                "load": [sk.load_factor],
-                "n_rows": [n_rows],
-                "build_s": [_time.time() - t0],
-                "blob_hash": [blob_hash],
+                "part_id": pa.array([part_id], pa.int32()),
+                "sketch": pa.array([blob], pa.binary()),
+                "nelts": pa.array([sk.nelts], pa.int64()),
+                "ndistinct": pa.array([sk.ndistinct], pa.int64()),
+                "noccupied": pa.array([sk.noccupied], pa.int64()),
+                "qbits": pa.array([sk.geom.qbits], pa.int32()),
+                "load": pa.array([sk.load_factor], pa.float64()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "build_s": pa.array([_time.time() - t0], pa.float64()),
+                "blob_hash": pa.array([fingerprint_bytes(blob)], pa.int64()),
             }
         )
 
-    return pruned.mapInPandas(build, schema=SKETCH_SCHEMA)
+    return pruned.mapInArrow(build, schema=SKETCH_SCHEMA)
 
 
 def tree_merge(sketch_df: Any, fan_in: int = 64) -> Cqf:
@@ -356,7 +395,16 @@ def build_sketches_grouped(
     from pyspark.sql import functions as F
 
     ensure_shipped(df.sparkSession)
-    pruned = ensure_parallelism(df.select(group_col, key_col))
+    # Null contract (matches build_sketches and the SQL oracles): null keys
+    # never enter a sketch (COUNT/COUNT DISTINCT exclude nulls); a null
+    # *group* would be silently dropped by pandas groupby anyway, so it is
+    # filtered explicitly here — callers wanting a NULL group must coalesce
+    # to a sentinel first.
+    pruned = ensure_parallelism(
+        df.select(group_col, key_col).where(
+            F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+    )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[Any, list[np.ndarray]] = {}

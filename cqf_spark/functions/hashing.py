@@ -41,64 +41,182 @@ def murmur64a_u64(keys: np.ndarray, seed: int) -> np.ndarray:
     return h
 
 
-def murmur64a_bytes(data: list[bytes] | np.ndarray, seed: int) -> np.ndarray:
-    """MurmurHash64A over variable-length byte strings, vectorized.
+def _murmur_concat_core(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int
+) -> np.ndarray:
+    """One-slice kernel for :func:`murmur64a_concat` (int32 index math;
+    callers guarantee the slice's byte/row totals fit int32)."""
+    n = int(lens.size)
+    # longest-first order -> per-round active rows form a prefix
+    order = np.argsort(-lens, kind="stable").astype(np.int32)
+    s_lens = lens[order]
+    s_starts = starts[order]
+
+    padded = (s_lens + 7) & ~np.int64(7)
+    pstarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(padded[:-1], out=pstarts[1:])
+    total = int(pstarts[-1] + padded[-1])
+    buf = np.zeros(total, dtype=np.uint8)
+    nb = int(s_lens.sum())
+    if nb:
+        # row-of-each-byte via boundary marks + cumsum (np.repeat and
+        # searchsorted are pathologically slow on this host — CLAUDE.md);
+        # sorted order puts zero-length rows last, so boundaries below nb
+        # are distinct and plain assignment marks them all.
+        csum = np.cumsum(s_lens)
+        bounds = csum[:-1]
+        marks = np.zeros(nb, dtype=np.int8)
+        marks[bounds[bounds < nb]] = 1
+        row_of = np.cumsum(marks, dtype=np.int32)
+        base = np.arange(nb, dtype=np.int32)
+        rel = base - (csum - s_lens).astype(np.int32)[row_of]
+        # rebase source offsets so they fit int32 even when `flat` is a
+        # multi-GB large_string data buffer and this is a deep slice
+        fmin = int(s_starts.min())
+        fmax = int((s_starts + s_lens).max())
+        if fmax - fmin <= np.iinfo(np.int32).max:
+            src = (s_starts - fmin).astype(np.int32)[row_of] + rel
+            buf[pstarts.astype(np.int32)[row_of] + rel] = flat[fmin:fmax][src]
+        else:  # pathological: rows scattered across >2GB — int64 gather
+            buf[pstarts[row_of] + rel] = flat[s_starts[row_of] + rel]
+    words = buf.view("<u8")
+    pw = pstarts >> 3
+
+    m = _M
+    h = _U64(seed) ^ (s_lens.astype(np.uint64) * m)
+    nchunks = s_lens >> 3
+    maxc = int(nchunks[0]) if n else 0
+    # descending nchunks: rows with nchunks > j are exactly the first `a`
+    asc = nchunks[::-1]  # ascending view for searchsorted
+    for j in range(maxc):
+        a = n - int(np.searchsorted(asc, j, side="right"))
+        if a == 0:
+            break
+        k = words[pw[:a] + j]
+        k = k * m
+        k ^= k >> _R
+        k *= m
+        h[:a] = (h[:a] ^ k) * m
+
+    tail = (s_lens & 7) > 0
+    if tail.any():
+        idx = np.flatnonzero(tail)
+        # zero padding => words[pw + nchunks] is byte[t] << 8t summed over tail
+        h[idx] = (h[idx] ^ words[pw[idx] + nchunks[idx]]) * m
+
+    h ^= h >> _R
+    h *= m
+    h ^= h >> _R
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
+# slice budget: keeps every index temp a few MB so the first batch in a
+# fresh python worker faults a bounded page set (~1ms/page on this VM),
+# and later slices/batches reuse it (mallopt retention in __init__).
+_CONCAT_MAX_ROWS = 1 << 19
+_CONCAT_MAX_BYTES = 16 << 20
+
+
+def murmur64a_concat(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int
+) -> np.ndarray:
+    """MurmurHash64A of N variable-length byte strings stored in one flat
+    uint8 buffer (``flat[starts[i] : starts[i]+lens[i]]`` is row i).
 
     Semantics identical to src/hashutil.c:23-64 for any length: 8-byte LE
     body chunks, then the 0-7 byte tail folded with the switch fallthrough
     (h ^= byte[t] << 8t for t < len&7, then h *= m once if the tail is
     non-empty), then the 3-step finalizer.
+
+    Strategy (all 1-D — no (n, width) 2-D byte matrices): one scatter copies
+    every row, zero-padded to a word boundary, into a packed word buffer;
+    rows are processed longest-first so each body-chunk round is a prefix
+    slice + 1-D word gather.  Zero padding makes the tail fold free: the
+    row's final partial word *is* the reference's tail accumulator.
+    Large inputs are processed in bounded slices (per-row independence)
+    so index temporaries stay small and warm.
     """
+    n = int(lens.size)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = lens.astype(np.int64, copy=False)
+    starts = starts.astype(np.int64, copy=False)
+    nb_total = int(lens.sum())
+    if n <= _CONCAT_MAX_ROWS and nb_total <= _CONCAT_MAX_BYTES:
+        return _murmur_concat_core(flat, starts, lens, seed)
+    out = np.empty(n, dtype=np.uint64)
+    csum = np.cumsum(lens)
+    lo = 0
+    while lo < n:
+        hi = min(lo + _CONCAT_MAX_ROWS, n)
+        base_bytes = int(csum[lo - 1]) if lo else 0
+        # shrink hi until the slice's bytes fit the budget (always >= 1 row)
+        while hi > lo + 1 and int(csum[hi - 1]) - base_bytes > _CONCAT_MAX_BYTES:
+            hi = lo + max(1, (hi - lo) // 2)
+        out[lo:hi] = _murmur_concat_core(flat, starts[lo:hi], lens[lo:hi], seed)
+        lo = hi
+    return out
+
+
+def murmur64a_bytes(data: list[bytes] | np.ndarray, seed: int) -> np.ndarray:
+    """MurmurHash64A over a list of byte strings (delegates to
+    :func:`murmur64a_concat`; for Arrow columns prefer
+    :func:`murmur64a_arrow`, which never materializes Python objects)."""
     if isinstance(data, np.ndarray) and data.dtype != object:
         data = list(data)
     n = len(data)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
-    max_len = int(lens.max()) if n else 0
-    # pad every row to a whole number of 8-byte words (>= 8)
-    width = max(8, ((max_len + 7) // 8) * 8)
-    padded = np.zeros((n, width), dtype=np.uint8)
     flat = np.frombuffer(b"".join(data), dtype=np.uint8)
-    if flat.size:
-        row_idx = np.repeat(np.arange(n), lens)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        col_idx = np.arange(flat.size) - np.repeat(starts, lens)
-        padded[row_idx, col_idx] = flat
-    words = padded.view("<u8")  # (n, width//8)
+    starts = np.cumsum(lens) - lens
+    return murmur64a_concat(flat, starts, lens, seed)
 
-    m = _M
-    h = _U64(seed) ^ (lens.astype(np.uint64) * m)
-    nchunks = lens // 8
-    for j in range(words.shape[1]):
-        active = nchunks > j
-        if not active.any():
-            break
-        k = words[:, j].copy()
-        k *= m
-        k ^= k >> _R
-        k *= m
-        h = np.where(active, (h ^ k) * m, h)
 
-    tail_len = (lens & 7).astype(np.int64)
-    if (tail_len > 0).any():
-        tail_start = (nchunks * 8).astype(np.int64)
-        acc = np.zeros(n, dtype=np.uint64)
-        rows = np.arange(n)
-        for t in range(7):
-            active = tail_len > t
-            if not active.any():
-                break
-            b = np.zeros(n, dtype=np.uint64)
-            idx = np.minimum(tail_start + t, width - 1)
-            b[active] = padded[rows[active], idx[active]].astype(np.uint64)
-            acc ^= b << _U64(8 * t)
-        h = np.where(tail_len > 0, (h ^ acc) * m, h)
+def murmur64a_arrow(arr: "object", seed: int) -> np.ndarray:
+    """MurmurHash64A over an Arrow string/binary array, straight from its
+    (offsets, data) buffers — zero Python objects per row.  Nulls hash as
+    the empty string (callers mask null rows out of builds/results).
 
-    h ^= h >> _R
-    h *= m
-    h ^= h >> _R
-    return h
+    This is the hot path fix for VERDICT r01 #1: mapInArrow batches and
+    ``pa.Array.from_pandas`` both land here, so token/n-gram/host builds and
+    string probes are a single vectorized pass.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odt = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odt = np.int64
+    elif pa.types.is_string_view(t) or pa.types.is_binary_view(t):
+        arr = arr.cast(pa.large_binary())
+        odt = np.int64
+    else:
+        arr = arr.cast(pa.string())
+        odt = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64, copy=False)
+    flat = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts = offs[:-1]
+    lens = offs[1:] - starts
+    if arr.null_count:
+        nulls = np.asarray(arr.is_null())
+        lens = np.where(nulls, 0, lens)
+    return murmur64a_concat(flat, starts, lens, seed)
 
 
 def hash_64(keys: np.ndarray, mask: int) -> np.ndarray:

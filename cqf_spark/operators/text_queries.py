@@ -1,9 +1,13 @@
 """Text-analysis operators for training-data pipelines: quality scoring,
 token counting, language ID, document fingerprinting.
 
-Quality/token metrics are pure native SQL expressions (whole-stage
-codegen, SQL-oracle-checkable).  Language ID and fingerprinting are
-vectorized batch UDFs with unit-test oracles (not SQL-expressible).
+Quality/token metrics and language ID are pure native SQL expressions
+(whole-stage codegen, SQL-oracle-checkable).  Fingerprinting hashes with
+the library murmur (not SQL-expressible), so its driver gate is a
+planted-pair construction: duplicated and token-rotated variants whose
+equality/inequality booleans the DuckDB oracle recomputes from the text
+itself — order sensitivity is checked end-to-end without the oracle
+needing the hash function.
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import murmur64a_bytes
+from ..functions.hashing import murmur64a_arrow, murmur64a_concat
 
 _STOPWORDS = "the a an and or of to in is it for on with as at by".split()
 
@@ -77,70 +81,126 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
-# language ID — stopword-profile heuristic (vectorized batch UDF)
+# language ID — stopword-profile hit rate, pure codegen expressions
 # --------------------------------------------------------------------- #
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Predict language by stopword-profile hit rate; 'und' (undetermined)
-    when no profile scores above zero.  Deterministic tie-break by
-    profile order."""
-    langs = list(LANG_PROFILES)
-    profiles = {k: set(v) for k, v in LANG_PROFILES.items()}
+    """Predict language by stopword-profile occurrence count over the
+    lowercased token stream; 'und' (undetermined) when no profile scores
+    above zero.  Deterministic tie-break by profile order.
 
-    def predict(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            preds = []
-            for t in pdf[text_col]:
-                toks = (t or "").lower().split()
-                scores = [
-                    sum(tok in profiles[lg] for tok in toks) for lg in langs
-                ]
-                best = max(range(len(langs)), key=lambda i: (scores[i], -i))
-                preds.append(langs[best] if scores[best] > 0 else "und")
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "pred_lang": preds}
-            )
+    Whole-stage codegen end to end (filter/array_contains lambdas compile
+    to Catalyst HigherOrderFunctions) — and exactly mirrorable in SQL, so
+    the driver gate compares real predictions, not a rows-only count.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        predict, schema="doc_id long, pred_lang string"
-    )
+    def _score(prof: list[str]):
+        arr = F.array(*[F.lit(w) for w in prof])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lg: _score(prof) for lg, prof in LANG_PROFILES.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in LANG_PROFILES:  # first profile reaching the max wins ties
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+    return docs.select("doc_id", pred.alias("pred_lang"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No SQL oracle (heuristic model); rows-only check + unit tests with
-    per-language fixtures in tests/test_text_ops.py."""
     return lang_id(_docs(spark, sf_dir))
 
 
+def _lang_id_oracle() -> str:
+    score = {
+        lg: (
+            "len(list_filter(string_split(lower(text), ' '), "
+            f"x -> list_contains([{', '.join(repr(w) for w in prof)}], x)))"
+        )
+        for lg, prof in LANG_PROFILES.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    cases = " ".join(
+        f"WHEN {score[lg]} = {best} THEN '{lg}'" for lg in LANG_PROFILES
+    )
+    return (
+        f"SELECT doc_id, CASE WHEN {best} = 0 THEN 'und' {cases} END "
+        "AS pred_lang FROM documents"
+    )
+
+
 # --------------------------------------------------------------------- #
-# document fingerprinting — rolling polynomial hash
+# document fingerprinting — rolling polynomial hash, fully vectorized
 # --------------------------------------------------------------------- #
 
+_B = np.uint64(1000003)
+
+
+def _rolling_fp_batch(texts: pd.Series, seed: int = 1) -> np.ndarray:
+    """Karp-Rabin rolling hash of each doc's token sequence, batch-at-once:
+    rolled(doc) = sum_i murmur(tok_i) * B^(n-1-i)  (mod 2^64).
+
+    No per-doc Python: one join+encode for the batch, numpy space-split
+    (split(" ") semantics — empty tokens preserved), murmur64a_concat over
+    all tokens, then a reduceat Horner fold per doc.
+    """
+    vals = texts.fillna("").tolist()
+    n_docs = len(vals)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64)
+    flat = np.frombuffer(" ".join(vals).encode("utf-8"), np.uint8)
+    bpos = np.flatnonzero(flat == 0x20)
+    starts = np.concatenate(([0], bpos + 1))
+    ends = np.concatenate((bpos, [flat.size]))
+    th = murmur64a_concat(flat, starts, ends - starts, seed)
+
+    # tokens per doc = spaces inside the doc + 1 (UTF-8 continuation bytes
+    # are >= 0x80, so byte==0x20 is exact); doc byte spans in `flat` are
+    # doc lens + 1 joiner each
+    blens = np.fromiter(
+        (len(v.encode("utf-8")) for v in vals), dtype=np.int64, count=n_docs
+    )
+    dstart = np.cumsum(blens + 1) - (blens + 1)
+    spcum = np.concatenate(([0], np.cumsum(flat == 0x20)))
+    ntok = (spcum[dstart + blens] - spcum[dstart]) + 1
+
+    tok_start = np.cumsum(ntok) - ntok
+    # doc-of-token via boundary marks (np.repeat is slow here — CLAUDE.md)
+    marks = np.zeros(th.size, dtype=np.int8)
+    b = tok_start[1:]
+    marks[b[b < th.size]] = 1
+    doc_of = np.cumsum(marks, dtype=np.int64)
+    idx_in_doc = np.arange(th.size) - tok_start[doc_of]
+    exp = (ntok[doc_of] - 1 - idx_in_doc).astype(np.int64)
+    maxn = int(ntok.max())
+    # Horner powers in wrapping uint64: [1, B, B^2, ...] (ADVICE r01: the
+    # old accumulate//B form degenerated after B^k overflow)
+    with np.errstate(over="ignore"):
+        pows = np.concatenate(
+            (
+                [np.uint64(1)],
+                np.multiply.accumulate(np.full(max(maxn - 1, 0), _B, np.uint64)),
+            )
+        )
+        return np.add.reduceat(th * pows[exp], tok_start)
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit content fingerprint: murmur of utf-8 bytes (whole-doc) plus
-    a Karp-Rabin rolling hash of the token sequence folded by XOR —
-    order-sensitive, deterministic, vectorized per batch."""
-    B = np.uint64(1000003)
+    """64-bit content fingerprints per doc: murmur of the utf-8 bytes
+    (whole-doc) and the order-sensitive Karp-Rabin rolling hash of the
+    token sequence.  Arrow-batched, zero per-row Python."""
+    import pyarrow as pa
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = [(t or "").encode("utf-8") for t in pdf[text_col]]
-            whole = murmur64a_bytes(texts, 0x5EED)
-            rolled = []
-            with np.errstate(over="ignore"):  # mod-2^64 wraparound intended
-                for t in pdf[text_col]:
-                    toks = (t or "").split(" ")
-                    th = murmur64a_bytes([x.encode("utf-8") for x in toks], 1)
-                    # Horner fold vectorized: acc = sum(th[i] * B^(n-1-i))
-                    pw = np.multiply.accumulate(
-                        np.full(th.size, B, dtype=np.uint64)
-                    ) // B  # [1, B, B^2, ...] mod 2^64
-                    rolled.append(int((th * pw[::-1]).sum().astype(np.int64)))
+            texts = pdf[text_col].fillna("")
+            whole = murmur64a_arrow(pa.Array.from_pandas(texts), 0x5EED)
+            rolled = _rolling_fp_batch(texts)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "fingerprint": whole.astype(np.int64),
-                    "rolling_fp": np.array(rolled, dtype=np.int64),
+                    "rolling_fp": rolled.astype(np.int64),
                 }
             )
 
@@ -150,7 +210,94 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints(_docs(spark, sf_dir))
+    """Planted-pair fingerprint gate (driver-oracle-checkable).
+
+    For every doc (mod 5 == 0) two variants are planted: an exact copy and
+    a token rotation (first token moved to the end).  The query emits, per
+    planted doc, whether each variant's whole/rolling fingerprint equals
+    the original's, alongside whether the variant *text* equals the
+    original text.  The DuckDB oracle recomputes text equality with the
+    same rotation expression and pins fp equality == text equality — true
+    on this data iff the fingerprints are injective here and the rolling
+    hash is genuinely order-sensitive.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0)
+    toks = F.split("text", " ")
+    rotated = F.concat_ws(
+        " ", F.concat(F.slice(toks, 2, F.size(toks) - 1), F.slice(toks, 1, 1))
+    )
+    variants = docs.select(
+        "doc_id",
+        F.col("text").alias("orig_text"),
+        F.col("text").alias("copy_text"),
+        rotated.alias("rot_text"),
+    )
+    fp_tagged = _fingerprints_keep(
+        variants.selectExpr(
+            "doc_id",
+            "stack(3, 'orig', orig_text, 'copy', copy_text, 'rot', rot_text) "
+            "AS (variant, text)",
+        )
+    )
+    orig = fp_tagged.where(F.col("variant") == "orig").select(
+        "doc_id",
+        F.col("fingerprint").alias("o_fp"),
+        F.col("rolling_fp").alias("o_roll"),
+        F.col("text").alias("o_text"),
+    )
+    return (
+        fp_tagged.where(F.col("variant") != "orig")
+        .join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "variant",
+            (F.col("text") == F.col("o_text")).alias("text_eq"),
+            (F.col("fingerprint") == F.col("o_fp")).alias("fp_eq"),
+            (F.col("rolling_fp") == F.col("o_roll")).alias("rolling_eq"),
+        )
+        .orderBy("doc_id", "variant")
+    )
+
+
+def _fingerprints_keep(df: DataFrame) -> DataFrame:
+    """fingerprints() over (doc_id, variant, text), passing variant+text
+    through the Arrow batch."""
+    import pyarrow as pa
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            whole = murmur64a_arrow(pa.Array.from_pandas(texts), 0x5EED)
+            rolled = _rolling_fp_batch(texts)
+            out = pdf[["doc_id", "variant", "text"]].copy()
+            out["fingerprint"] = whole.astype(np.int64)
+            out["rolling_fp"] = rolled.astype(np.int64)
+            yield out
+
+    return df.mapInPandas(
+        fp,
+        schema=(
+            "doc_id long, variant string, text string, "
+            "fingerprint long, rolling_fp long"
+        ),
+    )
+
+
+_FINGERPRINT_ORACLE = (
+    "WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS l "
+    "FROM documents WHERE doc_id % 5 = 0), "
+    "rot AS (SELECT doc_id, text AS o_text, "
+    "array_to_string(list_concat(l[2:], [l[1]]), ' ') AS rot_text FROM base) "
+    "SELECT doc_id, v.variant, "
+    "CASE WHEN v.variant = 'copy' THEN TRUE ELSE rot_text = o_text END "
+    "AS text_eq, "
+    "CASE WHEN v.variant = 'copy' THEN TRUE ELSE rot_text = o_text END "
+    "AS fp_eq, "
+    "CASE WHEN v.variant = 'copy' THEN TRUE ELSE rot_text = o_text END "
+    "AS rolling_eq "
+    "FROM rot, (VALUES ('copy'), ('rot')) AS v(variant) "
+    "ORDER BY doc_id, v.variant"
+)
 
 
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -176,5 +323,6 @@ TEXT_ORACLES: dict[str, str] = {
         "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) "
         "AS bpeish_units FROM documents"
     ),
-    # text_lang_id / text_fingerprints: rows-only (unit-tested)
+    "text_lang_id": _lang_id_oracle(),
+    "text_fingerprints": _FINGERPRINT_ORACLE,
 }

@@ -215,7 +215,7 @@ def build_token_sketches(pages: DataFrame, config):
 
     from .aggregator import ensure_shipped
     from .core import Cqf
-    from .functions.hashing import murmur64a_bytes
+    from .functions.hashing import murmur64a_concat
 
     ensure_shipped(pages.sparkSession)
     mask = np.uint64((1 << config.key_bits) - 1)
@@ -227,12 +227,24 @@ def build_token_sketches(pages: DataFrame, config):
             if pdf.empty:
                 continue
             text = extract_text_series(pdf["html"])
-            toks: list[bytes] = []
-            for t in text:
-                toks.extend(x.encode("utf-8") for x in t.split(" ") if x)
-            if toks:
-                n_rows += len(toks)
-                chunks.append(murmur64a_bytes(toks, config.seed) & mask)
+            # one C-level join+encode for the whole batch, then numpy run
+            # detection — no per-token Python (extraction already collapses
+            # whitespace to single 0x20s, and UTF-8 continuation bytes are
+            # >= 0x80, so byte==0x20 is an exact token separator)
+            flat = np.frombuffer(" ".join(text).encode("utf-8"), np.uint8)
+            if flat.size == 0:
+                continue
+            is_sp = flat == 0x20
+            nonsp = ~is_sp
+            prev_sp = np.concatenate(([True], is_sp[:-1]))
+            next_sp = np.concatenate((is_sp[1:], [True]))
+            starts = np.flatnonzero(nonsp & prev_sp)
+            lens = np.flatnonzero(nonsp & next_sp) - starts + 1
+            if starts.size:
+                n_rows += starts.size
+                chunks.append(
+                    murmur64a_concat(flat, starts, lens, config.seed) & mask
+                )
         h = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
         sk = Cqf.from_hashes(config, h)
         yield pd.DataFrame(
