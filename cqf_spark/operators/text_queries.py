@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import murmur64a_arrow, murmur64a_concat
+from ..functions.hashing import murmur64a_arrow, space_token_hashes
 
 _STOPWORDS = "the a an and or of to in is it for on with as at by".split()
 
@@ -144,27 +144,10 @@ def _rolling_fp_batch(texts: pd.Series, seed: int = 1) -> np.ndarray:
     (split(" ") semantics — empty tokens preserved), murmur64a_concat over
     all tokens, then a reduceat Horner fold per doc.
     """
-    vals = texts.fillna("").tolist()
-    n_docs = len(vals)
-    if n_docs == 0:
+    if len(texts) == 0:
         return np.empty(0, dtype=np.uint64)
-    flat = np.frombuffer(" ".join(vals).encode("utf-8"), np.uint8)
-    bpos = np.flatnonzero(flat == 0x20)
-    starts = np.concatenate(([0], bpos + 1))
-    ends = np.concatenate((bpos, [flat.size]))
-    th = murmur64a_concat(flat, starts, ends - starts, seed)
+    th, tok_start, ntok = space_token_hashes(texts, seed)
 
-    # tokens per doc = spaces inside the doc + 1 (UTF-8 continuation bytes
-    # are >= 0x80, so byte==0x20 is exact); doc byte spans in `flat` are
-    # doc lens + 1 joiner each
-    blens = np.fromiter(
-        (len(v.encode("utf-8")) for v in vals), dtype=np.int64, count=n_docs
-    )
-    dstart = np.cumsum(blens + 1) - (blens + 1)
-    spcum = np.concatenate(([0], np.cumsum(flat == 0x20)))
-    ntok = (spcum[dstart + blens] - spcum[dstart]) + 1
-
-    tok_start = np.cumsum(ntok) - ntok
     # doc-of-token via boundary marks (np.repeat is slow here — CLAUDE.md)
     marks = np.zeros(th.size, dtype=np.int8)
     b = tok_start[1:]

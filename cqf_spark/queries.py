@@ -44,15 +44,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokens_df(
+    spark: SparkSession, sf_dir: str, cache_compact: bool = False
+) -> DataFrame:
     """documents.text exploded to one token per row — the n-gram stream of
     the north star.  split+explode stays in whole-stage codegen; the sketch
-    build is the only Python stage."""
+    build is the only Python stage.
+
+    ``cache_compact=True`` caches the COMPACT pre-explode text (scale-safe:
+    one row per doc) so double consumers (build + probe) re-run only the
+    cheap codegen explode, never the scan — caching the exploded stream
+    itself would materialize every token string in executor memory, a
+    100 TB scale-killer (VERDICT r01)."""
     from .aggregator import ensure_parallelism
 
     # repartition the *compact* documents (pre-explode) so tokenization and
     # the sketch build parallelize; the exploded stream itself never shuffles
     docs = ensure_parallelism(load(spark, sf_dir, "documents").select("text"))
+    if cache_compact:
+        docs = docs.cache()
     return docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
 
 
@@ -80,9 +90,9 @@ def q_membership_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: how often does each token appear in the corpus?
-    (SURVEY.md §7 phase 2 — the minimum end-to-end slice.)  The token
-    stream feeds both the build and the probe side, so it is cached."""
-    toks = tokens_df(spark, sf_dir).cache()
+    (SURVEY.md §7 phase 2 — the minimum end-to-end slice.)  The compact
+    text is cached for the double consumption; the explode recomputes."""
+    toks = tokens_df(spark, sf_dir, cache_compact=True)
     sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
     return toks.distinct().select(
         "token", count_udf(spark, sketch)("token").alias("approx_count")
@@ -92,7 +102,7 @@ def q_token_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: tokens with frequency >= 20 (threshold form keeps the
     result deterministic for the oracle compare)."""
-    toks = tokens_df(spark, sf_dir).cache()
+    toks = tokens_df(spark, sf_dir, cache_compact=True)
     sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
     cnt = count_udf(spark, sketch)("token").alias("cnt")
     return toks.distinct().select("token", cnt).where(F.col("cnt") >= 20)
@@ -266,6 +276,69 @@ def q_sharded_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.count_join(probes, "l_partkey")
 
 
+def q_unique_index_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_get_unique_index as a driver-gated contract check
+    (src/gqf.c:2095-2132): every present key gets an index, the indexes
+    are pairwise DISTINCT (the perfect-hash handle property), absent keys
+    get -1.  The oracle pins the key count and the contract booleans."""
+    import numpy as np
+
+    li = load(spark, sf_dir, "lineitem")
+    sketch = cqf_aggregate(li, "l_partkey", INT_CONFIG)
+    keys = np.array(
+        [r[0] for r in li.select("l_partkey").distinct().collect()],
+        dtype=np.uint64,
+    )
+    idx = sketch.unique_indexes(keys)
+    absent = sketch.unique_indexes(
+        np.arange(900_000_000, 900_000_100, dtype=np.uint64)
+    )
+    row = [
+        (
+            int(keys.size),
+            bool((idx >= 0).all()),
+            bool(np.unique(idx).size == idx.size),
+            bool((absent == -1).all()),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_keys long, all_present boolean, all_unique boolean, "
+        "absent_is_minus1 boolean"
+    )
+
+
+def q_streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end as a driver-gated query: documents
+    stream in as 3 micro-batches (file source, availableNow), the
+    LSM-state builder maintains the running sketch exactly-once, and the
+    final sketch is probed for every doc_id — INVERTIBLE mode makes the
+    result exact, so the oracle is plain SQL."""
+    import shutil
+    import tempfile
+
+    from .streaming import StreamingSketchBuilder
+
+    work = tempfile.mkdtemp(prefix="cqf_stream_q_")
+    try:
+        src = f"{work}/src"
+        docs = load(spark, sf_dir, "documents").select("doc_id")
+        docs.repartition(3).write.parquet(src)
+        b = StreamingSketchBuilder(INT_CONFIG, f"{work}/state")
+        stream = spark.readStream.schema("doc_id long").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = b.attach(stream, "doc_id", trigger={"availableNow": True})
+        q.awaitTermination(300)
+        sk = b.current()
+        assert sk is not None and b.meta()["batches"] >= 3
+        probes = docs.distinct()
+        return probes.select(
+            "doc_id", count_udf(spark, sk)("doc_id").alias("approx_count")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -286,6 +359,8 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_zipf_skew": q_zipf_skew,
     "cqf_sharded_multiplicity": q_sharded_multiplicity,
     "cqf_grouped_sketch_stats": q_grouped_sketch_stats,
+    "cqf_unique_index_partkey": q_unique_index_partkey,
+    "cqf_streaming_token_counts": q_streaming_token_counts,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
@@ -342,6 +417,13 @@ SKETCH_ORACLES: dict[str, str] = {
     "cqf_zipf_skew": (
         "SELECT CAST(200000 AS BIGINT) AS n, TRUE AS counts_exact, "
         "TRUE AS shards_balanced"
+    ),
+    "cqf_unique_index_partkey": (
+        "SELECT COUNT(DISTINCT l_partkey) AS n_keys, TRUE AS all_present, "
+        "TRUE AS all_unique, TRUE AS absent_is_minus1 FROM lineitem"
+    ),
+    "cqf_streaming_token_counts": (
+        "SELECT doc_id, CAST(1 AS BIGINT) AS approx_count FROM documents"
     ),
     "cqf_sharded_multiplicity": (
         "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem "

@@ -21,19 +21,20 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-from ..functions.hashing import murmur64a_bytes, murmur64a_u64
+from ..functions.hashing import murmur64a_arrow, murmur64a_u64
 from .base import Sketch, from_bytes
 
 DEFAULT_HASH_SEED = 42
 
 
 def hash_any_series(s: pd.Series, seed: int = DEFAULT_HASH_SEED) -> np.ndarray:
-    """Murmur64A over a column of any type: utf-8 bytes for strings/objects,
-    8-byte LE words for integers/floats (matching the CQF key path)."""
+    """Murmur64A over a column of any type: utf-8 bytes for strings/objects
+    (Arrow-buffer direct, no per-row Python), 8-byte LE words for
+    integers/floats (matching the CQF key path)."""
     if s.dtype == object or pd.api.types.is_string_dtype(s.dtype):
-        vals = s.fillna("").astype(str).to_numpy(dtype=object)
-        data = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals]
-        return murmur64a_bytes(data, seed)
+        import pyarrow as pa
+
+        return murmur64a_arrow(pa.Array.from_pandas(s.fillna("")), seed)
     arr = s.to_numpy()
     if arr.dtype.kind == "f":
         arr = arr.astype(np.int64)

@@ -1,13 +1,27 @@
 """Structured Streaming: incremental CQF maintenance.
 
 The reference's closest analog is lock-guarded concurrent insert
-(src/gqf.c:146-244) — a single filter mutated by many writers.  The
-Spark-native form: each micro-batch builds partial sketches with the
-ordinary batch aggregator (vectorized bulk build), merges them into a
-running sketch (qf_merge is associative, so stream order is irrelevant),
-and persists it with an atomic rename + applied-batch watermark for
-exactly-once semantics across restarts (foreachBatch may redeliver a
-batch after a crash; replays are detected by batch id and skipped).
+(src/gqf.c:146-244) — a single filter mutated by many writers, with O(1)
+amortized splice per insert.  The Spark-native form keeps the same
+amortized cost model with a two-level (LSM-style) running state:
+
+* **delta** — a small sketch absorbing recent micro-batches; merging a
+  batch costs O(|delta| + |batch|), proportional to batch size while the
+  delta stays small;
+* **base**  — the large immutable sketch; the delta compacts into it only
+  when it has grown to a fixed fraction of the base, so the O(|base|)
+  rebuild is amortized over the many batches that filled the delta —
+  exactly the amortization discipline of the reference's auto-resize
+  doubling (src/gqf.c:1819-1914).
+
+CQF counts are additive across the two levels (qf_merge semantics), so
+``current()`` is simply base ⊎ delta.
+
+Exactly-once across restarts: foreachBatch may redeliver a batch after a
+crash, so the state carries the last applied batch id — and the WHOLE
+state (meta + base + delta) commits in ONE file with ONE atomic rename
+(ADVICE r01: two separate renames could leave the sketch updated but the
+watermark stale, double-counting the replayed batch).
 
 Usage::
 
@@ -21,11 +35,17 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 from typing import Any
 
 from .aggregator import build_sketches, tree_merge
 from .config import CqfConfig
 from .core import Cqf
+
+_STATE_MAGIC = b"CQFSTRM2"
+# compact when the delta reaches this fraction of the base (amortizes the
+# O(|base|) merge over ~1/_COMPACT_FRACTION of the base's worth of input)
+_COMPACT_FRACTION = 0.25
 
 
 class StreamingSketchBuilder:
@@ -35,59 +55,94 @@ class StreamingSketchBuilder:
         os.makedirs(state_dir, exist_ok=True)
 
     @property
-    def _sketch_path(self) -> str:
-        return os.path.join(self.state_dir, "current.cqf")
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "state.cqfstream")
 
-    @property
-    def _meta_path(self) -> str:
-        return os.path.join(self.state_dir, "applied.json")
-
-    def _load_meta(self) -> dict[str, Any]:
+    # -- single-file atomic state ----------------------------------------
+    def _load_state(self) -> tuple[dict[str, Any], Cqf | None, Cqf | None]:
         try:
-            with open(self._meta_path) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return {"last_batch_id": -1, "batches": 0, "rows": 0}
-
-    def current(self) -> Cqf | None:
-        """The running sketch (None before the first batch commits)."""
-        try:
-            with open(self._sketch_path, "rb") as f:
-                return Cqf.from_bytes(f.read())
+            with open(self._state_path, "rb") as f:
+                raw = f.read()
         except OSError:
-            return None
+            return (
+                {"last_batch_id": -1, "batches": 0, "rows": 0, "compactions": 0},
+                None,
+                None,
+            )
+        if raw[:8] != _STATE_MAGIC:
+            raise ValueError("corrupt stream state: bad magic")
+        mlen, blen, dlen = struct.unpack_from("<QQQ", raw, 8)
+        off = 8 + 24
+        meta = json.loads(raw[off : off + mlen])
+        off += mlen
+        base = Cqf.from_bytes(raw[off : off + blen]) if blen else None
+        off += blen
+        delta = Cqf.from_bytes(raw[off : off + dlen]) if dlen else None
+        return meta, base, delta
 
-    def _commit(self, sketch: Cqf, meta: dict[str, Any]) -> None:
-        tmp = self._sketch_path + ".tmp"
+    def _commit(
+        self, meta: dict[str, Any], base: Cqf | None, delta: Cqf | None
+    ) -> None:
+        mb = json.dumps(meta).encode()
+        bb = base.to_bytes() if base is not None else b""
+        db = delta.to_bytes() if delta is not None else b""
+        tmp = self._state_path + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(sketch.to_bytes())
-        os.replace(tmp, self._sketch_path)
-        mtmp = self._meta_path + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(mtmp, self._meta_path)
+            f.write(_STATE_MAGIC)
+            f.write(struct.pack("<QQQ", len(mb), len(bb), len(db)))
+            f.write(mb)
+            f.write(bb)
+            f.write(db)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._state_path)  # the ONE commit point
+
+    # -- public surface ----------------------------------------------------
+    def current(self) -> Cqf | None:
+        """The running sketch (None before the first batch commits).
+        Materializes base ⊎ delta — an O(N) read, paid on reads, never
+        per batch."""
+        _meta, base, delta = self._load_state()
+        if base is None:
+            return delta
+        if delta is None:
+            return base
+        return base.merge(delta)
+
+    def meta(self) -> dict[str, Any]:
+        return self._load_state()[0]
 
     def process_batch(self, batch_df: Any, batch_id: int, key_col: str) -> None:
-        """foreachBatch body — also callable directly for testing."""
-        meta = self._load_meta()
+        """foreachBatch body — also callable directly for testing.
+
+        Cost: O(|batch| + |delta|) per batch, plus an O(|base|) compaction
+        amortized over the batches that filled the delta."""
+        meta, base, delta = self._load_state()
         if batch_id <= meta["last_batch_id"]:
             return  # replayed batch after restart: already applied
         n = batch_df.count()
-        running = self.current()
         if n:
             part = tree_merge(build_sketches(batch_df, key_col, self.config))
-            merged = part if running is None else running.merge(part)
-        else:
-            merged = running or tree_merge(
-                build_sketches(batch_df, key_col, self.config)
-            )
+            delta = part if delta is None else delta.merge(part)
+        elif delta is None and base is None:
+            # commit an empty sketch so current() is non-None after batch 0
+            delta = tree_merge(build_sketches(batch_df, key_col, self.config))
+        if delta is not None and (
+            base is None
+            or delta.ndistinct >= _COMPACT_FRACTION * max(base.ndistinct, 1)
+        ):
+            base = delta if base is None else base.merge(delta)
+            delta = None
+            meta["compactions"] = meta.get("compactions", 0) + 1
         self._commit(
-            merged,
             {
+                **meta,
                 "last_batch_id": batch_id,
                 "batches": meta["batches"] + 1,
                 "rows": meta["rows"] + n,
             },
+            base,
+            delta,
         )
 
     def attach(

@@ -70,3 +70,43 @@ def test_streaming_restart_resumes(spark, tmp_path):
     got = b2.current()
     assert got.sum_of_counts == 80
     assert bool(got.contains(np.array([79], dtype=np.uint64))[0])
+
+
+def test_streaming_batch_cost_is_amortized(spark, tmp_path):
+    """VERDICT r01 #9: per-batch cost proportional to batch size.
+
+    Structural gate (timing is too noisy on this host): with the LSM
+    state, most small batches must merge into the small delta WITHOUT
+    touching the base — i.e. compactions are rare (amortized), and the
+    committed base bytes are unchanged between compactions.
+    """
+    import numpy as np
+
+    state = str(tmp_path / "state")
+    b = StreamingSketchBuilder(CFG, state)
+    rng = np.random.default_rng(11)
+
+    # batch 0 is large (the base), then many small batches
+    big = spark.createDataFrame(
+        [(int(v),) for v in rng.integers(0, 200_000, 20_000)], "k long"
+    )
+    b.process_batch(big, 0, "k")
+    base_bytes_after = []
+    for i in range(1, 13):
+        small = spark.createDataFrame(
+            [(int(v),) for v in rng.integers(0, 200_000, 200)], "k long"
+        )
+        b.process_batch(small, i, "k")
+        meta, base, delta = b._load_state()
+        base_bytes_after.append(None if base is None else len(base.to_bytes()))
+    meta = b.meta()
+    # 12 small batches (~1.2% of base each) must not trigger ~12
+    # compactions; the 25% threshold allows at most a couple
+    assert meta["compactions"] <= 3, meta
+    # base is untouched between compactions (the O(|base|) work really is
+    # amortized, not merely counted)
+    assert len(set(base_bytes_after)) <= meta["compactions"] + 1
+    assert meta["batches"] == 13 and meta["rows"] == 20_000 + 12 * 200
+    # correctness: the merged view carries every applied row
+    got = b.current()
+    assert got.sum_of_counts == 20_000 + 12 * 200
