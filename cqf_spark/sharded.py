@@ -89,35 +89,48 @@ def build_sharded(
     )
     vb = config.value_bits
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow: string keys hash straight off the Arrow buffers (zero
+    # Python objects per row — same shape as aggregator.build_sketches)
+    def build(batches: Iterator[Any]) -> Iterator[Any]:
+        import pyarrow as pa
+
+        from .aggregator import hash_arrow
+
         hash_chunks: list[np.ndarray] = []
         count_chunks: list[np.ndarray] = []
-        n_rows = 0
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            n_rows += len(pdf)
-            h = hash_series(pdf[key_col], config)
+            names = rb.schema.names
+            h = hash_arrow(rb.column(names.index(key_col)), config)
             if vb:
                 h = h << np.uint64(vb)
             hash_chunks.append(h)
             if count_col:
-                count_chunks.append(pdf[count_col].to_numpy().astype(np.uint64))
+                count_chunks.append(
+                    rb.column(names.index(count_col))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
         h = (
             np.concatenate(hash_chunks)
             if hash_chunks
             else np.empty(0, dtype=np.uint64)
         )
         c = np.concatenate(count_chunks) if count_chunks else None
-        order = np.argsort(h, kind="stable")
+        # group by shard with a 1-byte radix argsort (O(n), 1-2 passes)
+        # instead of a full 64-bit comparison sort: the per-shard bulk
+        # build re-sorts its own cache-resident slice anyway, so sorting
+        # the whole partition by full hash here is pure wasted DRAM
+        # bandwidth — the thing this box runs out of first
+        shard_of = (h >> shift).astype(np.uint8 if sb <= 8 else np.uint16)
+        order = np.argsort(shard_of, kind="stable")
         h = h[order]
         if c is not None:
             c = c[order]
-        bounds = np.searchsorted(
-            h, np.arange(1, 1 << sb, dtype=np.uint64) << shift, side="left"
-        )
-        starts = np.r_[0, bounds]
-        ends = np.r_[bounds, h.size]
+        counts_per = np.bincount(shard_of, minlength=1 << sb)
+        ends = np.cumsum(counts_per)
+        starts = ends - counts_per
         out: dict[str, list] = {k: [] for k in ("shard", "sketch", "nelts", "ndistinct", "n_rows")}
         for s in range(1 << sb):
             lo, hi = int(starts[s]), int(ends[s])
@@ -133,9 +146,17 @@ def build_sharded(
             out["nelts"].append(sk.nelts)
             out["ndistinct"].append(sk.ndistinct)
             out["n_rows"].append(hi - lo)
-        yield pd.DataFrame(out)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "shard": pa.array(out["shard"], pa.int32()),
+                "sketch": pa.array(out["sketch"], pa.binary()),
+                "nelts": pa.array(out["nelts"], pa.int64()),
+                "ndistinct": pa.array(out["ndistinct"], pa.int64()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+            }
+        )
 
-    partials = pruned.mapInPandas(build, schema=SHARD_SCHEMA)
+    partials = pruned.mapInArrow(build, schema=SHARD_SCHEMA)
 
     def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         sks = [Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]]

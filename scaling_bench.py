@@ -43,7 +43,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import cqf_spark  # noqa: F401  (sets malloc retention env before the JVM forks workers)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
+# per-job replication: sized so each job's fixed overhead (~2s scheduling +
+# merge tail) is <10% of the hi-level wall, without pushing the cached
+# input past what the JVM handles without eviction churn
+REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "128"))
+CORE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_CORE_REPL", "32"))
 
 
 def make_spark(cores: int):
@@ -115,7 +119,7 @@ def core_job(spark, cores: int) -> tuple[int, float]:
     cached = _CORE_CACHE.get(id(spark))
     if cached is None:
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_partkey")
-        reps = spark.range(REPL).select(F.col("id").alias("rep"))
+        reps = spark.range(CORE_REPL).select(F.col("id").alias("rep"))
         big = (
             li.crossJoin(reps)
             .select((F.col("l_partkey") + F.col("rep") * 1_000_000).alias("key"))
@@ -216,9 +220,11 @@ def hardware_control(n: int) -> dict:
     for k in (n, 4 * n):
         procs = [
             subprocess.Popen(
-                [sys.executable, "-c", CONTROL_WORK], stdout=subprocess.PIPE
+                [sys.executable, "-c",
+                 f"import os; os.sched_setaffinity(0, {{{i}}})\n" + CONTROL_WORK],
+                stdout=subprocess.PIPE,
             )
-            for _ in range(k)
+            for i in range(k)
         ]
         per = [float(p.communicate()[0]) for p in procs]
         out[k] = k / (sum(per) / k)
@@ -228,13 +234,23 @@ def hardware_control(n: int) -> dict:
 
 def _subprocess_level(cores: int) -> dict:
     """Run one parallelism level in a fresh process (own JVM), like a real
-    spark-submit per cluster size; avoids gateway-JVM reuse interference."""
+    spark-submit per cluster size; avoids gateway-JVM reuse interference.
+
+    The whole process tree (driver, JVM, Python workers) is PINNED to
+    exactly ``cores`` CPUs with sched_setaffinity.  Without pinning,
+    ``local[N]`` is not an N-core cluster: the JVM's Arrow-conversion /
+    shuffle / GC threads run concurrently with the N Python workers, so a
+    nominal local[2] job measurably burns ~6 cores — inflating the
+    small-cluster baseline and understating scaling efficiency.  A real
+    N-core cluster pays its JVM overhead out of its own N cores; pinning
+    reproduces that."""
     import subprocess
 
     code = (
-        "import sys, json; sys.path.insert(0, %r); "
+        "import os, sys, json; os.sched_setaffinity(0, set(range(%d))); "
+        "sys.path.insert(0, %r); "
         "import scaling_bench as sb; print(json.dumps(sb.run_level(%d, trials=2)))"
-        % (os.path.dirname(os.path.abspath(__file__)), cores)
+        % (cores, os.path.dirname(os.path.abspath(__file__)), cores)
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
@@ -284,7 +300,7 @@ def main() -> None:
         "pass_0.8": bool(min(eff_wt, eff_core) >= 0.8),
         "hardware_control_efficiency": control["efficiency"],
         "sf_dir": SF_DIR,
-        "replication": REPL,
+        "replication": REPL, "core_replication": CORE_REPL,
     }
     print(json.dumps(out))
     with open(
