@@ -13,6 +13,13 @@ for _k, _v in (
     ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
     ("MALLOC_TRIM_THRESHOLD_", "-1"),
     ("MALLOC_ARENA_MAX", "4"),
+    # Arrow's bundled jemalloc/mimalloc pools hand freed pages back to the
+    # kernel on their own decay schedule, bypassing the glibc retention
+    # above — every RecordBatch/pa.array in a hot loop then re-faults its
+    # pages (~1ms each here).  The system pool routes Arrow through glibc
+    # malloc, which the settings above pin.  Measured: steady-state kernel
+    # rep drops from ~8k minor faults to ~0.
+    ("ARROW_DEFAULT_MEMORY_POOL", "system"),
 ):
     os.environ.setdefault(_k, _v)
 

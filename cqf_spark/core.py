@@ -123,13 +123,16 @@ class Cqf:
         counts: np.ndarray | None = None,
         qbits: int | None = None,
         auto_resize: bool = True,
+        min_qbits: int | None = None,
     ) -> "Cqf":
         """Bulk-build from in-universe hashes (QF_KEY_IS_HASH path).
 
         ``counts`` defaults to 1 per row; duplicate hashes aggregate.  If the
         sketch overflows the 95% load rule the quotient doubles and the build
         retries — the vectorized analog of auto-resize (src/gqf.c:1902-1914,
-        1819-1889).
+        1819-1889).  ``min_qbits`` floors the auto-chosen size (merge uses
+        it so capacity never shrinks) without pinning it the way ``qbits``
+        does.
         """
         h = np.ascontiguousarray(hashes, dtype=np.uint64)
         if counts is None:
@@ -147,7 +150,7 @@ class Cqf:
             hu = hs[starts]
             cu = np.add.reduceat(cs, starts) if hs.size else cs
         if qbits is None:
-            qbits = config.qbits_for(int(hu.size))
+            qbits = max(config.qbits_for(int(hu.size)), min_qbits or 0)
         while True:
             try:
                 return cls(config, qbits, _hashes=hu, _counts=cu)
@@ -208,6 +211,14 @@ class Cqf:
             self.offsets = np.zeros(geom.nblocks, dtype=np.uint8)
             self.max_displacement = 0
             return
+
+        # fast-fail before any layout work: every distinct entry occupies at
+        # least one slot, so n alone proves overflow — doomed auto-resize
+        # attempts cost O(1) instead of a full encode+placement pass
+        if n > int(LOAD_FACTOR * geom.nslots):
+            raise NoSpaceError(
+                f"{n} distinct entries > 95% of {geom.nslots} slots"
+            )
 
         quotients = (hashes >> _U64(bps)).astype(np.int64)
         remainders = hashes & _U64((1 << bps) - 1)
@@ -572,7 +583,18 @@ class Cqf:
         hs = np.concatenate([s._decode().hashes for s in sketches])
         cs = np.concatenate([s._decode().counts for s in sketches])
         if qbits is None:
-            qbits = max(s.geom.qbits for s in sketches)
+            # size from the UNION's distinct count (the reference likewise
+            # sizes the merge output by total volume, src/bm.c:681-691),
+            # with the inputs' max qbits as a floor so capacity never
+            # shrinks across a merge.  Seeding with the floor alone made
+            # every large merge crawl through the auto-resize retry loop.
+            return cls.from_hashes(
+                cfg,
+                hs,
+                cs,
+                min_qbits=max(s.geom.qbits for s in sketches),
+                auto_resize=auto_resize,
+            )
         return cls.from_hashes(cfg, hs, cs, qbits=qbits, auto_resize=auto_resize)
 
     def merge(self, other: "Cqf", qbits: int | None = None) -> "Cqf":

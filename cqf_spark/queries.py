@@ -222,31 +222,36 @@ def q_distributed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zipf_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bm.c's Zipfian skew workload (s=1.5, src/bm.c:521, src/zipf.c):
-    sketch counts must stay exact (INVERTIBLE mode) under heavy key skew,
-    and hash-sharding must spread the skewed stream evenly."""
-    from .sharded import ShardedCqf
-    from .zipf import zipf_keys
+    sketch counts must stay exact (INVERTIBLE mode) under heavy key skew.
 
-    keys = zipf_keys(spark, 200_000, universe=100_000, s=1.5).cache()
-    sk = cqf_aggregate(keys, "key", INT_CONFIG)
-    exact = keys.groupBy("key").agg(F.count("*").alias("c"))
-    probe = exact.select(
-        "key", "c", count_udf(spark, sk)("key").alias("est")
+    The stream is the Zipf(1.5) multiset with EXACT per-rank mass
+    c(k) = floor(C / k^1.5), exploded to raw rows (the top key alone is
+    200k duplicate rows — an indivisible heavy hitter that exercises the
+    sharded build's skew story for real).  Every arithmetic step (sqrt,
+    divide, floor on IEEE doubles) is bit-deterministic across engines,
+    so the DuckDB oracle recomputes every per-key count independently —
+    nothing in the result is a Spark-computed verdict about itself."""
+    from .sharded import ShardedCqf
+
+    C = 200_000.0
+    ranks = spark.range(1, 4_001).select(F.col("id").alias("key"))
+    mass = ranks.select(
+        "key",
+        F.floor(F.lit(C) / (F.col("key") * F.sqrt(F.col("key"))))
+        .cast("long")
+        .alias("c"),
     )
-    bad = probe.where(F.col("est") != F.col("c")).count()
-    # balance is measured in DISTINCT entries: a skewed key's duplicates
-    # collapse to one (hash, count) pair at the partial-build stage, so
-    # per-shard work tracks ndistinct, not raw stream mass (the top Zipf
-    # key alone carries ~38% of rows at s=1.5 and is indivisible in any
-    # counting system)
-    sharded = ShardedCqf.aggregate(keys, "key", INT_CONFIG, n_shards=16)
-    loads = [r["ndistinct"] for r in sharded.df.select("ndistinct").collect()]
-    balanced = max(loads) <= 1.5 * (sum(loads) / len(loads))
-    keys.unpersist()
-    return spark.createDataFrame(
-        [(int(sk.sum_of_counts), bad == 0, bool(balanced))],
-        "n long, counts_exact boolean, shards_balanced boolean",
+    stream = (
+        mass.where(F.col("c") > 0)
+        .select("key", F.explode(F.sequence(F.lit(1), F.col("c"))).alias("i"))
+        .repartition(32)  # scatter the heavy key's rows across partitions
+        .select("key")
     )
+    sharded = ShardedCqf.aggregate(stream, "key", INT_CONFIG, n_shards=16)
+    probe = mass.select(
+        "key", sharded.count_udf(spark)("key").alias("approx_count")
+    )
+    return probe
 
 
 def q_grouped_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,8 +420,9 @@ SKETCH_ORACLES: dict[str, str] = {
         "WHERE l_linenumber <= 3 GROUP BY l_suppkey"
     ),
     "cqf_zipf_skew": (
-        "SELECT CAST(200000 AS BIGINT) AS n, TRUE AS counts_exact, "
-        "TRUE AS shards_balanced"
+        "SELECT range AS key, "
+        "CAST(FLOOR(200000.0 / (range * SQRT(range))) AS BIGINT) AS approx_count "
+        "FROM range(1, 4001)"
     ),
     "cqf_unique_index_partkey": (
         "SELECT COUNT(DISTINCT l_partkey) AS n_keys, TRUE AS all_present, "

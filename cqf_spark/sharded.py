@@ -62,6 +62,79 @@ def _shard_bits(n_shards: int) -> int:
     return b
 
 
+def shard_partials(
+    h: np.ndarray, c: np.ndarray | None, config: CqfConfig, n_shards: int
+) -> Any:
+    """Radix-split one partition's (value-packed) hash block by its top
+    shard bits and bulk-build one local-hash sub-CQF per non-empty shard —
+    the per-task half of :func:`build_sharded`, reusable by harnesses that
+    produce hash blocks directly (e.g. the bm.c-style pregen bench).
+
+    Returns a ``pyarrow.RecordBatch`` with :data:`SHARD_SCHEMA` columns.
+    """
+    import pyarrow as pa
+
+    sb = _shard_bits(n_shards)
+    shift = np.uint64(config.key_bits + config.value_bits - sb)
+    local_mask = np.uint64((1 << int(shift)) - 1)
+    local_cfg = _local_config(config, sb)
+    # group by shard with a 1-byte radix argsort (O(n), 1-2 passes)
+    # instead of a full 64-bit comparison sort: the per-shard bulk
+    # build re-sorts its own cache-resident slice anyway, so sorting
+    # the whole partition by full hash here is pure wasted DRAM
+    # bandwidth — the thing this box runs out of first
+    shard_of = (h >> shift).astype(np.uint8 if sb <= 8 else np.uint16)
+    order = np.argsort(shard_of, kind="stable")
+    h = h[order]
+    if c is not None:
+        c = c[order]
+    counts_per = np.bincount(shard_of, minlength=1 << sb)
+    ends = np.cumsum(counts_per)
+    starts = ends - counts_per
+    out: dict[str, list] = {
+        k: [] for k in ("shard", "sketch", "nelts", "ndistinct", "n_rows")
+    }
+    for s in range(1 << sb):
+        lo, hi = int(starts[s]), int(ends[s])
+        if lo == hi:
+            continue
+        sk = Cqf.from_hashes(
+            local_cfg,
+            h[lo:hi] & local_mask,
+            None if c is None else c[lo:hi],
+        )
+        out["shard"].append(s)
+        out["sketch"].append(sk.to_bytes())
+        out["nelts"].append(sk.nelts)
+        out["ndistinct"].append(sk.ndistinct)
+        out["n_rows"].append(hi - lo)
+    return pa.RecordBatch.from_pydict(
+        {
+            "shard": pa.array(out["shard"], pa.int32()),
+            "sketch": pa.array(out["sketch"], pa.binary()),
+            "nelts": pa.array(out["nelts"], pa.int64()),
+            "ndistinct": pa.array(out["ndistinct"], pa.int64()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+        }
+    )
+
+
+def merge_shard_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-shard k-way merge (qf_multi_merge) over one groupBy(shard) group
+    of partial-sketch rows — the applyInPandas half of the topology."""
+    sks = [Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]]
+    m = Cqf.merge_many(sks)
+    return pd.DataFrame(
+        {
+            "shard": [int(pdf["shard"].iloc[0])],
+            "sketch": [m.to_bytes()],
+            "nelts": [m.nelts],
+            "ndistinct": [m.ndistinct],
+            "n_rows": [int(pdf["n_rows"].sum())],
+        }
+    )
+
+
 def build_sharded(
     df: Any,
     key_col: str,
@@ -76,10 +149,7 @@ def build_sharded(
     and bulk-builds one sub-CQF per non-empty shard.  The only shuffle is
     the per-shard blob exchange feeding the merge.
     """
-    sb = _shard_bits(n_shards)
-    shift = np.uint64(config.key_bits + config.value_bits - sb)
-    local_mask = np.uint64((1 << int(shift)) - 1)
-    local_cfg = _local_config(config, sb)
+    _shard_bits(n_shards)  # validate up front
     ensure_shipped(df.sparkSession)
     from pyspark.sql import functions as F
 
@@ -92,8 +162,6 @@ def build_sharded(
     # mapInArrow: string keys hash straight off the Arrow buffers (zero
     # Python objects per row — same shape as aggregator.build_sketches)
     def build(batches: Iterator[Any]) -> Iterator[Any]:
-        import pyarrow as pa
-
         from .aggregator import hash_arrow
 
         hash_chunks: list[np.ndarray] = []
@@ -118,58 +186,9 @@ def build_sharded(
             else np.empty(0, dtype=np.uint64)
         )
         c = np.concatenate(count_chunks) if count_chunks else None
-        # group by shard with a 1-byte radix argsort (O(n), 1-2 passes)
-        # instead of a full 64-bit comparison sort: the per-shard bulk
-        # build re-sorts its own cache-resident slice anyway, so sorting
-        # the whole partition by full hash here is pure wasted DRAM
-        # bandwidth — the thing this box runs out of first
-        shard_of = (h >> shift).astype(np.uint8 if sb <= 8 else np.uint16)
-        order = np.argsort(shard_of, kind="stable")
-        h = h[order]
-        if c is not None:
-            c = c[order]
-        counts_per = np.bincount(shard_of, minlength=1 << sb)
-        ends = np.cumsum(counts_per)
-        starts = ends - counts_per
-        out: dict[str, list] = {k: [] for k in ("shard", "sketch", "nelts", "ndistinct", "n_rows")}
-        for s in range(1 << sb):
-            lo, hi = int(starts[s]), int(ends[s])
-            if lo == hi:
-                continue
-            sk = Cqf.from_hashes(
-                local_cfg,
-                h[lo:hi] & local_mask,
-                None if c is None else c[lo:hi],
-            )
-            out["shard"].append(s)
-            out["sketch"].append(sk.to_bytes())
-            out["nelts"].append(sk.nelts)
-            out["ndistinct"].append(sk.ndistinct)
-            out["n_rows"].append(hi - lo)
-        yield pa.RecordBatch.from_pydict(
-            {
-                "shard": pa.array(out["shard"], pa.int32()),
-                "sketch": pa.array(out["sketch"], pa.binary()),
-                "nelts": pa.array(out["nelts"], pa.int64()),
-                "ndistinct": pa.array(out["ndistinct"], pa.int64()),
-                "n_rows": pa.array(out["n_rows"], pa.int64()),
-            }
-        )
+        yield shard_partials(h, c, config, n_shards)
 
     partials = pruned.mapInArrow(build, schema=SHARD_SCHEMA)
-
-    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        sks = [Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]]
-        m = Cqf.merge_many(sks)
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "sketch": [m.to_bytes()],
-                "nelts": [m.nelts],
-                "ndistinct": [m.ndistinct],
-                "n_rows": [int(pdf["n_rows"].sum())],
-            }
-        )
 
     # explicit numPartitions pins the exchange: AQE would otherwise
     # coalesce this small-but-CPU-heavy blob shuffle into 1-2 partitions,
@@ -177,7 +196,7 @@ def build_sharded(
     return (
         partials.repartition(n_shards, "shard")
         .groupBy("shard")
-        .applyInPandas(merge_shard, schema=SHARD_SCHEMA)
+        .applyInPandas(merge_shard_group, schema=SHARD_SCHEMA)
     )
 
 
@@ -228,24 +247,11 @@ class ShardedCqf:
         if (self.config, self.n_shards) != (other.config, other.n_shards):
             raise ValueError("sharded merge requires identical config/shards")
 
-        def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            sks = [Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]]
-            m = Cqf.merge_many(sks)
-            return pd.DataFrame(
-                {
-                    "shard": [int(pdf["shard"].iloc[0])],
-                    "sketch": [m.to_bytes()],
-                    "nelts": [m.nelts],
-                    "ndistinct": [m.ndistinct],
-                    "n_rows": [int(pdf["n_rows"].sum())],
-                }
-            )
-
         merged = (
             self.df.unionByName(other.df)
             .repartition(self.n_shards, "shard")
             .groupBy("shard")
-            .applyInPandas(merge_shard, schema=SHARD_SCHEMA)
+            .applyInPandas(merge_shard_group, schema=SHARD_SCHEMA)
         )
         return ShardedCqf(merged, self.config, self.n_shards)
 
