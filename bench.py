@@ -209,6 +209,29 @@ def main() -> None:
     fp_expected = (load_sum / 8) * 2.0**-8
     fp_bound = 2.0**-8
 
+    # -- insert throughput per 5%-load increment (bm.c:735-746, 789-797:
+    # q=22, nvals=95% fill, 20 points).  The reference measures incremental
+    # insert rate, which degrades with load as clusters shift; the bulk
+    # builder's analog is the full-build rate at each load point, which
+    # stays ~flat — reported per point so the comparison is explicit.
+    sweep_q = 22
+    sweep_cfg = CqfConfig(key_bits=sweep_q + 8, hash_mode=HashMode.DEFAULT, seed=3)
+    sweep_n = int(0.95 * (1 << sweep_q))
+    sweep_keys = (
+        np.random.default_rng(0xBEEF).integers(0, 2**63, sweep_n).astype(np.uint64)
+    )
+    sweep_hashes = hash_keys(sweep_keys, sweep_cfg)
+    Cqf.from_hashes(sweep_cfg, sweep_hashes, qbits=sweep_q)  # warm pages
+    sweep = []
+    for i in range(1, 21):
+        k = sweep_n * i // 20
+        t0 = time.time()
+        s = Cqf.from_hashes(sweep_cfg, sweep_hashes[:k], qbits=sweep_q)
+        dt = time.time() - t0
+        sweep.append(
+            {"load": round(s.load_factor, 3), "mops": round(k / dt / 1e6, 2)}
+        )
+
     out = {
         "metric": "cqf end-to-end headline queries (build+merge+probe), total wall sec",
         "value": round(sum(timings.values()), 3),
@@ -226,6 +249,7 @@ def main() -> None:
         "fp_expected_load*2^-r": fp_expected,
         "fp_bound_2^-r": fp_bound,
         "fp_ok": bool(fp_rate <= fp_bound),
+        "insert_sweep_q22_bulk": sweep,
         "total_wall_s": round(time.time() - t_all, 3),
     }
     spark.stop()

@@ -180,6 +180,120 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the cell-partitioned scale path.
+
+    * **Assign** (map-side, no shuffle): every corpus row scores against
+      the broadcast centroid set with codegen ``zip_with``/``aggregate``
+      dot products and takes its cell via ``array_max`` over
+      ``struct(score, cell)`` — one pass, no key shuffle, O(n * n_cells * d)
+      flops in whole-stage codegen.  At 100 TB this is the same cost shape
+      as reading the data once.
+    * **Probe**: each query ranks the same centroid set and keeps its top
+      ``nprobe`` cells; candidates are corpus rows assigned to any probed
+      cell — a join on the (tiny) cell id, so ~nprobe/n_cells of the
+      corpus is scored per query instead of all of it.
+    * **Rerank**: exact cosine on candidates only, window top-k.
+
+    Centroids are supplied by the caller (a deterministic corpus sample
+    here; a k-means output in production — the operator is agnostic).
+    Scores are rounded to 4 decimals before every argmax/rank with id
+    tie-breaks, so results are reproducible bit-for-bit across engines
+    (the tolerance the brute-force oracle has already proven sufficient).
+    Returns (query_id, rank, vec_id, cos).
+    """
+    cent = with_unit_vectors(centroids, vec_col).select(
+        F.col(id_col).alias("cell"), F.col("_unit").alias("mv")
+    )
+    cent_rows = cent.collect()  # n_cells rows — tiny by construction
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col), F.col("_unit").alias("cv")
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
+    )
+
+    def dot(vec_field: str, mv: list) -> Any:
+        lit = F.array(*[F.lit(float(x)) for x in mv])
+        return F.aggregate(
+            F.zip_with(vec_field, lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # assign: argmax over struct(score, cell) — ties to the LARGER cell id
+    # (struct ordering), mirrored in the oracle's ORDER BY score DESC,
+    # cell DESC
+    def scored_structs(vec_field: str) -> Any:
+        return F.array(
+            *[
+                F.struct(
+                    F.round(dot(vec_field, r["mv"]), 4).alias("s"),
+                    F.lit(int(r["cell"])).alias("cell"),
+                )
+                for r in cent_rows
+            ]
+        )
+
+    assigned = c.select(
+        id_col, "cv", F.array_max(scored_structs("cv"))["cell"].alias("cell")
+    )
+
+    # probe: top-nprobe cells per query (rank on rounded score, ties to
+    # larger cell — same ordering as assignment)
+    probe = (
+        q.select(
+            "query_id",
+            "qv",
+            F.explode(scored_structs("qv")).alias("sc"),
+        )
+        .select("query_id", "qv", F.col("sc.s").alias("s"), F.col("sc.cell").alias("cell"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("s").desc(), F.col("cell").desc()
+                )
+            ),
+        )
+        .where(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probe), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with("cv", "qv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -12,11 +12,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ann import brute_force_topk, cosine_near_dup_pairs, lsh_topk
+from .ann import brute_force_topk, cosine_near_dup_pairs, ivf_topk, lsh_topk
 
 K = 10
 N_QUERIES = 5
 DIM = 64
+CELL_MOD = 125  # centroid sample rule: vec_id % CELL_MOD == 3
+NPROBE = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +74,18 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-k with a FULL value oracle: the centroid set
+    is a deterministic corpus sample (vec_id % CELL_MOD == 3), so DuckDB
+    recomputes the complete IVF semantics — cell assignment, top-nprobe
+    probe, candidate rerank — and every (query_id, rank, vec_id, cos) row
+    is compared, not a recall boolean."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    centroids = emb.where(F.col("vec_id") % CELL_MOD == 3)
+    return ivf_topk(emb, queries, centroids, k=K, nprobe=NPROBE)
+
+
 N_PLANT = 20
 
 
@@ -103,6 +117,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force_topk": q_ann_brute_force,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_topk": q_ann_ivf,
     "dedup_embedding_cosine": q_embedding_near_dups,
 }
 
@@ -127,6 +142,39 @@ FROM ranked WHERE rank <= {K}
         f"SELECT CAST(q AS BIGINT) AS query_id, TRUE AS recall_ok "
         f"FROM range({N_QUERIES}) t(q)"
     ),
+    "ann_ivf_topk": f"""
+WITH cent AS (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS mv
+  FROM embeddings WHERE vec_id % {CELL_MOD} = 3),
+corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, t.cell,
+      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        ORDER BY ROUND(list_cosine_similarity(c.cv, t.mv), 4) DESC,
+                 t.cell DESC) AS rn
+    FROM corp c CROSS JOIN cent t) WHERE rn = 1),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, t.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(q.cv, t.mv), 4) DESC,
+                 t.cell DESC) AS rn
+    FROM corp q CROSS JOIN cent t WHERE q.vec_id < {N_QUERIES})
+  WHERE rn <= {NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+    ROUND(list_cosine_similarity(c.cv, qc.cv), 4) AS cos
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  JOIN corp c ON c.vec_id = a.vec_id
+  JOIN corp qc ON qc.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id)
+SELECT query_id, rank, vec_id, cos FROM (
+  SELECT query_id, vec_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS rank
+  FROM cand) WHERE rank <= {K}
+""",
     "dedup_embedding_cosine": (
         f"WITH corpus AS (SELECT vec_id, embedding FROM embeddings "
         f"UNION ALL SELECT vec_id + 1000000, "

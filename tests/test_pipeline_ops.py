@@ -136,3 +136,39 @@ def test_brute_force_topk_self_excluded(spark, sf_dir):
     for qid in (0, 1):
         ranks = sorted(r.rank for r in out if r.query_id == qid)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    """IVF must retrieve a planted near-duplicate through its cell
+    structure: the near-dup lands in the same (or a probed) cell as the
+    query, so it must surface as the top hit."""
+    from cqf_spark.operators.ann import ivf_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    rows = [(0, base.tolist()), (1, (base * 1.5).tolist())] + [
+        (i, rng.standard_normal(64).tolist()) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = df.where(F.col("vec_id").isin([2, 7, 12, 17]))
+    queries = df.where(F.col("vec_id") == 0)
+    out = ivf_topk(df, queries, centroids, k=3, nprobe=2).collect()
+    assert out, "no candidates surfaced"
+    top = min(out, key=lambda r: r.rank)
+    assert top.vec_id == 1 and abs(top.cos - 1.0) < 1e-3
+
+
+def test_ivf_probes_subset_of_cells(spark):
+    """With nprobe=1 every result row's candidate came from exactly the
+    query's own best cell — the candidate count must be bounded by the
+    biggest cell, not the corpus."""
+    from cqf_spark.operators.ann import ivf_topk
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = df.where(F.col("vec_id") < 6)
+    queries = df.where(F.col("vec_id").isin([10, 20]))
+    out = ivf_topk(df, queries, centroids, k=60, nprobe=1)
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] < 60 for r in per_q)
