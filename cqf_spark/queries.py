@@ -281,6 +281,29 @@ def q_sharded_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.count_join(probes, "l_partkey")
 
 
+def q_sharded_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed set algebra on the sharded representation: two sharded
+    sketches (click vs view user streams), per-shard qf_inner_product and
+    qf_intersect — shard ranges are disjoint, so the global results are
+    exact sums/unions of per-shard results (src/gqf.c:2547, 2583).
+    Emits the inner product and the intersected users' total multiplicity
+    in the click stream (counts survive intersect per the reference's
+    keep-larger-filter-counts rule)."""
+    from .sharded import ShardedCqf
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    a = ShardedCqf.aggregate(clicks, "user_id", INT_CONFIG, n_shards=16)
+    b = ShardedCqf.aggregate(views, "user_id", INT_CONFIG, n_shards=16)
+    ip = a.inner_product(b)
+    inter = a.intersect(b)
+    return spark.createDataFrame(
+        [(int(ip), int(inter.num_distinct()))],
+        "ip long, n_common_users long",
+    )
+
+
 def q_unique_index_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qf_get_unique_index as a driver-gated contract check
     (src/gqf.c:2095-2132): every present key gets an index, the indexes
@@ -363,6 +386,7 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_distributed_delete": q_distributed_delete,
     "cqf_zipf_skew": q_zipf_skew,
     "cqf_sharded_multiplicity": q_sharded_multiplicity,
+    "cqf_sharded_set_algebra": q_sharded_set_algebra,
     "cqf_grouped_sketch_stats": q_grouped_sketch_stats,
     "cqf_unique_index_partkey": q_unique_index_partkey,
     "cqf_streaming_token_counts": q_streaming_token_counts,
@@ -430,6 +454,15 @@ SKETCH_ORACLES: dict[str, str] = {
     ),
     "cqf_streaming_token_counts": (
         "SELECT doc_id, CAST(1 AS BIGINT) AS approx_count FROM documents"
+    ),
+    "cqf_sharded_set_algebra": (
+        "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id), "
+        "v AS (SELECT user_id, COUNT(*) AS n FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id) "
+        "SELECT CAST(SUM(c.n * v.n) AS BIGINT) AS ip, "
+        "CAST(COUNT(*) AS BIGINT) AS n_common_users "
+        "FROM c JOIN v USING (user_id)"
     ),
     "cqf_sharded_multiplicity": (
         "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem "

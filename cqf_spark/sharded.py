@@ -255,6 +255,85 @@ class ShardedCqf:
         )
         return ShardedCqf(merged, self.config, self.n_shards)
 
+    def intersect(self, other: "ShardedCqf") -> "ShardedCqf":
+        """Distributed qf_intersect (src/gqf.c:2583-2613): shard hash
+        ranges are disjoint and identical across both sketches, so the
+        global intersection is exactly the per-shard intersection — an
+        inner join on the (tiny) shard id, one vectorized intersect per
+        matched pair, no key data ever shuffles."""
+        if (self.config, self.n_shards) != (other.config, other.n_shards):
+            raise ValueError(
+                "sharded intersect requires identical config/shards"
+            )
+        from pyspark.sql import functions as F
+
+        def _intersect(pdf: pd.DataFrame) -> pd.DataFrame:
+            a = Cqf.from_bytes(bytes(pdf["sketch_a"].iloc[0]))
+            b = Cqf.from_bytes(bytes(pdf["sketch_b"].iloc[0]))
+            m = a.intersect(b)
+            if m.ndistinct == 0:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=t) for c, t in (
+                        ("shard", "int32"), ("sketch", "object"),
+                        ("nelts", "int64"), ("ndistinct", "int64"),
+                        ("n_rows", "int64"),
+                    )}
+                )
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "sketch": [m.to_bytes()],
+                    "nelts": [m.nelts],
+                    "ndistinct": [m.ndistinct],
+                    "n_rows": [m.nelts],
+                }
+            )
+
+        joined = (
+            self.df.select(
+                "shard", F.col("sketch").alias("sketch_a")
+            ).join(
+                other.df.select("shard", F.col("sketch").alias("sketch_b")),
+                "shard",
+            )
+        )
+        out = joined.groupBy("shard").applyInPandas(
+            _intersect, schema=SHARD_SCHEMA
+        )
+        return ShardedCqf(out, self.config, self.n_shards)
+
+    def inner_product(self, other: "ShardedCqf") -> int:
+        """Distributed qf_inner_product (src/gqf.c:2547-2579):
+        sum over matching hashes of count_a * count_b.  Disjoint shard
+        ranges make it a sum of per-shard inner products — shard-id join,
+        per-pair vectorized dot, one scalar per shard aggregated up."""
+        if (self.config, self.n_shards) != (other.config, other.n_shards):
+            raise ValueError(
+                "sharded inner product requires identical config/shards"
+            )
+        from pyspark.sql import functions as F
+
+        def _ip(pdf: pd.DataFrame) -> pd.DataFrame:
+            a = Cqf.from_bytes(bytes(pdf["sketch_a"].iloc[0]))
+            b = Cqf.from_bytes(bytes(pdf["sketch_b"].iloc[0]))
+            return pd.DataFrame({"ip": [int(a.inner_product(b))]})
+
+        joined = (
+            self.df.select(
+                "shard", F.col("sketch").alias("sketch_a")
+            ).join(
+                other.df.select("shard", F.col("sketch").alias("sketch_b")),
+                "shard",
+            )
+        )
+        row = (
+            joined.groupBy("shard")
+            .applyInPandas(_ip, schema="ip long")
+            .agg({"ip": "sum"})
+            .collect()[0][0]
+        )
+        return int(row or 0)
+
     def count_udf(self, spark: Any):
         """Broadcast-probe pandas UDF (fits comfortably when the shard set
         is << executor RAM; at true 10^12 scale use ``count_join``)."""

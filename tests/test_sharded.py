@@ -92,3 +92,36 @@ def test_sharded_save_load(spark, sf_dir, tmp_path):
     a = {r["shard"]: bytes(r["sketch"]) for r in sk.df.collect()}
     b = {r["shard"]: bytes(r["sketch"]) for r in back.df.collect()}
     assert a == b
+
+
+def test_sharded_set_algebra_matches_single_sketch(spark, sf_dir):
+    """Per-shard inner product / intersect over disjoint hash ranges must
+    equal the single-sketch qf_inner_product / qf_intersect results."""
+    df = _li(spark, sf_dir)
+    lo = df.where(F.col("l_linenumber") <= 3)
+    hi = df.where(F.col("l_linenumber") >= 2)
+    sa = ShardedCqf.aggregate(lo, "l_suppkey", CFG, n_shards=16)
+    sb = ShardedCqf.aggregate(hi, "l_suppkey", CFG, n_shards=16)
+    a = cqf_aggregate(lo, "l_suppkey", CFG)
+    b = cqf_aggregate(hi, "l_suppkey", CFG)
+    assert sa.inner_product(sb) == a.inner_product(b)
+    inter_sharded = sa.intersect(sb)
+    inter_single = a.intersect(b)
+    assert inter_sharded.num_distinct() == inter_single.num_distinct
+    # decoded common-hash set identical (counts aside: per-shard larger-
+    # filter tie-breaks may differ from the global one, the hash set not)
+    got = sorted(
+        r["hash"] for r in inter_sharded.items_df().select("hash").collect()
+    )
+    kh, _v, _c = inter_single.items()
+    assert got == kh.astype(np.int64).tolist()
+
+
+def test_sharded_set_algebra_config_guard(spark, sf_dir):
+    df = _li(spark, sf_dir)
+    sa = ShardedCqf.aggregate(df, "l_suppkey", CFG, n_shards=16)
+    sb = ShardedCqf.aggregate(df, "l_suppkey", CFG, n_shards=8)
+    with pytest.raises(ValueError):
+        sa.inner_product(sb)
+    with pytest.raises(ValueError):
+        sa.intersect(sb)
