@@ -367,6 +367,53 @@ def q_streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_grouped_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group stateful streaming via ``applyInPandasWithState``: one
+    running doc-id sketch per language held in the engine's state store
+    (LSM base+delta inside the state), documents streamed as 3
+    micro-batches.  Each group's LAST emitted row carries the full
+    sketch; INVERTIBLE mode makes nelts/ndistinct exact, so the oracle is
+    a plain GROUP BY."""
+    import shutil
+    import tempfile
+
+    from .streaming import grouped_streaming_sketches
+
+    work = tempfile.mkdtemp(prefix="cqf_gstream_q_")
+    try:
+        src = f"{work}/src"
+        docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
+        docs.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema("lang string, doc_id long").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = grouped_streaming_sketches(stream, "lang", "doc_id", INT_CONFIG)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cqf_gstream_lang")
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.sql(
+            "select * from cqf_gstream_lang"
+        ).collect()  # appended in batch order; keep each group's last
+        latest: dict[str, Any] = {}
+        for r in rows:
+            latest[r["group"]] = r
+        return spark.createDataFrame(
+            sorted(
+                (g, int(r["nelts"]), int(r["ndistinct"]))
+                for g, r in latest.items()
+            ),
+            "lang string, n_docs long, n_distinct_docs long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -390,6 +437,7 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_grouped_sketch_stats": q_grouped_sketch_stats,
     "cqf_unique_index_partkey": q_unique_index_partkey,
     "cqf_streaming_token_counts": q_streaming_token_counts,
+    "cqf_streaming_grouped_lang": q_streaming_grouped_lang,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
@@ -451,6 +499,11 @@ SKETCH_ORACLES: dict[str, str] = {
     "cqf_unique_index_partkey": (
         "SELECT COUNT(DISTINCT l_partkey) AS n_keys, TRUE AS all_present, "
         "TRUE AS all_unique, TRUE AS absent_is_minus1 FROM lineitem"
+    ),
+    "cqf_streaming_grouped_lang": (
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "COUNT(DISTINCT doc_id) AS n_distinct_docs "
+        "FROM documents GROUP BY lang"
     ),
     "cqf_streaming_token_counts": (
         "SELECT doc_id, CAST(1 AS BIGINT) AS approx_count FROM documents"

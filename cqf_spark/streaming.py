@@ -169,3 +169,74 @@ class StreamingSketchBuilder:
         if trigger:
             writer = writer.trigger(**trigger)
         return writer.start()
+
+
+def grouped_streaming_sketches(
+    stream_df: Any,
+    group_col: str,
+    key_col: str,
+    config: CqfConfig,
+    compact_fraction: float = _COMPACT_FRACTION,
+) -> Any:
+    """One running CQF per group value, maintained in the ENGINE's state
+    store via ``applyInPandasWithState`` — the custom-stateful-operator
+    form of :class:`StreamingSketchBuilder` (which keeps one global sketch
+    in its own atomic file).  Here Spark owns persistence, partitioning
+    and recovery of the per-group state; the operator only defines the
+    monoid.
+
+    State per group is the same LSM pair (base, delta) as the file-backed
+    builder, so a micro-batch costs O(|batch| + |delta|) with the
+    O(|base|) compaction amortized — the reference's auto-resize
+    amortization discipline (src/gqf.c:1819-1914).
+
+    Emits one ``(group, sketch, nelts, ndistinct)`` row per group touched
+    by each micro-batch (output mode "update"), where ``sketch`` is the
+    merged base ⊎ delta view.  At very high update rates emit metadata
+    only and read blobs from the state store at compaction points.
+    """
+    import pandas as pd
+
+    from .aggregator import hash_series
+
+    def update(key: Any, pdfs: Any, state: Any):
+        import numpy as np
+
+        chunks = []
+        for pdf in pdfs:
+            if len(pdf):
+                chunks.append(hash_series(pdf[key_col], config))
+        if chunks:
+            batch = Cqf.from_hashes(config, np.concatenate(chunks))
+        else:
+            batch = Cqf.empty(config, 6)
+        if state.exists:
+            base_b, delta_b = state.get
+            base = Cqf.from_bytes(bytes(base_b))
+            delta = Cqf.from_bytes(bytes(delta_b))
+        else:
+            base = Cqf.empty(config, 6)
+            delta = Cqf.empty(config, 6)
+        delta = delta.merge(batch)
+        if delta.ndistinct > compact_fraction * max(base.ndistinct, 1):
+            base, delta = base.merge(delta), Cqf.empty(config, 6)
+        state.update((base.to_bytes(), delta.to_bytes()))
+        merged = base.merge(delta)
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "sketch": [merged.to_bytes()],
+                "nelts": [merged.nelts],
+                "ndistinct": [merged.ndistinct],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType="group string, sketch binary, nelts long, ndistinct long",
+        stateStructType="base binary, delta binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -110,3 +110,61 @@ def test_streaming_batch_cost_is_amortized(spark, tmp_path):
     # correctness: the merged view carries every applied row
     got = b.current()
     assert got.sum_of_counts == 20_000 + 12 * 200
+
+
+def test_grouped_streaming_sketches_match_batch(spark, tmp_path):
+    """applyInPandasWithState per-group running sketches: after draining
+    the stream (one file per micro-batch), each group's latest emitted
+    sketch equals the batch grouped build over all data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cqf_spark.aggregator import build_sketches_grouped
+    from cqf_spark.core import Cqf
+    from cqf_spark.streaming import grouped_streaming_sketches
+
+    src = str(tmp_path / "gsrc")
+    rng = np.random.default_rng(11)
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b", "c"], 3000),
+                "k": rng.integers(0, 400, 3000),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string, k long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = grouped_streaming_sketches(stream, "g", "k", CFG)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gsketches")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # memory sink appends every update; keep each group's LAST emitted row
+    rows = spark.sql("select * from gsketches").collect()
+    assert rows, "stream emitted nothing"
+    latest = {}
+    for r in rows:  # appended in batch order
+        latest[r["group"]] = r
+    batch_df = spark.read.parquet(src)
+    want = {
+        r["group"]: Cqf.from_bytes(bytes(r["sketch"]))
+        for r in build_sketches_grouped(batch_df, "g", "k", CFG).collect()
+    }
+    assert set(latest) == set(want)
+    for g, r in latest.items():
+        got = Cqf.from_bytes(bytes(r["sketch"]))
+        kh_g, _, c_g = got.items()
+        kh_w, _, c_w = want[g].items()
+        assert np.array_equal(kh_g, kh_w) and np.array_equal(c_g, c_w), g
+        assert r["nelts"] == want[g].nelts
