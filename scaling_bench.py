@@ -64,6 +64,7 @@ def make_spark(cores: int):
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.local.dir", "/dev/shm/spark-local")  # /tmp is disk-backed here; blob shuffles belong in RAM
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")

@@ -58,3 +58,24 @@ def test_sharded_build_single_blob_shuffle(spark, sf_dir):
     assert n_exchanges <= 2, plan
     schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert schema_line.strip() == "ReadSchema: struct<l_partkey:bigint>"
+
+
+def test_ivf_corpus_never_shuffles_before_cell_join(spark, sf_dir):
+    """IVF cell assignment is pure map-side expression work and the probe
+    side broadcasts: the corpus must reach the candidate join through
+    zero Exchanges (only the final per-query window rank shuffles)."""
+    from cqf_spark.operators.ann import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    cent = emb.where(F.col("vec_id") % 125 == 3)
+    plan = _plan(ivf_topk(emb, q, cent, k=5, nprobe=2), spark)
+    assert "BroadcastExchange" in plan  # probe side broadcast
+    # the only non-broadcast exchange is the window's partitionBy(query_id)
+    import re
+
+    shuffles = [
+        l for l in plan.splitlines()
+        if re.search(r"\bExchange \(\d+\)", l) and "hashpartitioning" in l
+    ]
+    assert len(shuffles) <= 1, plan
