@@ -379,7 +379,10 @@ def q_streaming_grouped_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import grouped_streaming_sketches
 
+    import uuid
+
     work = tempfile.mkdtemp(prefix="cqf_gstream_q_")
+    qname = f"cqf_gstream_lang_{uuid.uuid4().hex[:8]}"
     try:
         src = f"{work}/src"
         docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
@@ -390,7 +393,7 @@ def q_streaming_grouped_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = grouped_streaming_sketches(stream, "lang", "doc_id", INT_CONFIG)
         q = (
             out.writeStream.format("memory")
-            .queryName("cqf_gstream_lang")
+            .queryName(qname)
             .outputMode("update")
             .option("checkpointLocation", f"{work}/ckpt")
             .trigger(availableNow=True)
@@ -398,7 +401,7 @@ def q_streaming_grouped_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         rows = spark.sql(
-            "select * from cqf_gstream_lang"
+            f"select * from {qname}"
         ).collect()  # appended in batch order; keep each group's last
         latest: dict[str, Any] = {}
         for r in rows:
