@@ -82,10 +82,32 @@ def q_pages_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_trigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL character-trigram frequencies via CQF — the north star's "url
+    n-gram stream".  Gram explosion is a pure codegen expression
+    (transform over a sequence of substring offsets — no Python, no
+    UDF); the sketch is the only Python stage.  At 100 TB the gram
+    stream never shuffles by key: partition-local builds, blob merge."""
+    pages = synth_webtext(spark, sf_dir).select("url")
+    grams = pages.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(url) - 2),"
+                " i -> substring(url, i, 3))"
+            )
+        ).alias("ngram")
+    )
+    sketch = cqf_aggregate(grams, "ngram", NGRAM_CONFIG)
+    return grams.distinct().select(
+        "ngram", count_udf(spark, sketch)("ngram").alias("approx_count")
+    )
+
+
 WEBTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtext_extract_identity": q_extract_identity,
     "webtext_bigram_multiplicity": q_bigram_multiplicity,
     "webtext_url_host_counts": q_url_host_counts,
+    "webtext_url_trigram_multiplicity": q_url_trigram_multiplicity,
     "webtext_pages_per_day": q_pages_per_day,
 }
 
@@ -101,6 +123,13 @@ WEBTEXT_ORACLES: dict[str, str] = {
     "webtext_url_host_counts": (
         "SELECT source || '.example.org' AS host, COUNT(*) AS approx_count "
         "FROM documents GROUP BY source"
+    ),
+    "webtext_url_trigram_multiplicity": (
+        "SELECT ngram, COUNT(*) AS approx_count FROM ("
+        "SELECT unnest(list_transform(generate_series(1, length(u) - 2), "
+        "i -> substring(u, i, 3))) AS ngram FROM ("
+        "SELECT 'https://' || source || '.example.org/page-' || doc_id "
+        "|| '.html' AS u FROM documents)) GROUP BY ngram"
     ),
     "webtext_pages_per_day": (
         "SELECT CAST(FLOOR((1700000000 + doc_id * 97) / 86400) AS BIGINT) "
