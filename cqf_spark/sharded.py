@@ -334,6 +334,26 @@ class ShardedCqf:
         )
         return int(row or 0)
 
+    def magnitude(self) -> int:
+        """Distributed qf_magnitude (src/gqf.c:2616-2619): the L2 norm of
+        the global count vector.  Disjoint shard ranges make the squared
+        norm a plain sum of per-shard self-inner-products, computed
+        shard-locally; only one scalar per shard reaches the driver.
+        Truncates to int exactly like the reference's uint64 return
+        (double sqrt then truncate — mirrors Cqf.magnitude bit-for-bit)."""
+
+        def _sq(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = Cqf.from_bytes(bytes(pdf["sketch"].iloc[0]))
+            return pd.DataFrame({"sq": [int(sk.inner_product(sk))]})
+
+        row = (
+            self.df.groupBy("shard")
+            .applyInPandas(_sq, schema="sq long")
+            .agg({"sq": "sum"})
+            .collect()[0][0]
+        )
+        return int(np.sqrt(int(row or 0)))
+
     def count_udf(self, spark: Any):
         """Broadcast-probe pandas UDF (fits comfortably when the shard set
         is << executor RAM; at true 10^12 scale use ``count_join``)."""

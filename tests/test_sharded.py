@@ -125,3 +125,10 @@ def test_sharded_set_algebra_config_guard(spark, sf_dir):
         sa.inner_product(sb)
     with pytest.raises(ValueError):
         sa.intersect(sb)
+
+
+def test_sharded_magnitude_matches_single_sketch(spark, sf_dir):
+    df = _li(spark, sf_dir)
+    sharded = ShardedCqf.aggregate(df, "l_suppkey", CFG, n_shards=16)
+    single = cqf_aggregate(df, "l_suppkey", CFG)
+    assert sharded.magnitude() == single.magnitude()
