@@ -223,12 +223,16 @@ def main() -> None:
     )
     sweep_hashes = hash_keys(sweep_keys, sweep_cfg)
     Cqf.from_hashes(sweep_cfg, sweep_hashes, qbits=sweep_q)  # warm pages
+    # best-of-2 per point: host CPU steal is bursty here (BENCH.md), and a
+    # single stolen window at one load point reads as a fake load cliff
     sweep = []
     for i in range(1, 21):
         k = sweep_n * i // 20
-        t0 = time.time()
-        s = Cqf.from_hashes(sweep_cfg, sweep_hashes[:k], qbits=sweep_q)
-        dt = time.time() - t0
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            s = Cqf.from_hashes(sweep_cfg, sweep_hashes[:k], qbits=sweep_q)
+            dt = min(dt, time.time() - t0)
         sweep.append(
             {"load": round(s.load_factor, 3), "mops": round(k / dt / 1e6, 2)}
         )

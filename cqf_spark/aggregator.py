@@ -66,19 +66,23 @@ def ensure_shipped(spark: Any) -> None:
     sc.addPyFile(zpath)
     _SHIPPED.add(id(sc))
 
-# decoded-sketch cache keyed by blob identity, so executor processes decode a
-# broadcast sketch once per python worker instead of once per batch
-_SKETCH_CACHE: dict[int, Cqf] = {}
+# decoded-sketch cache keyed by blob content, so executor processes decode a
+# broadcast sketch once per python worker instead of once per batch.  The key
+# is the bytes object itself: dict lookup compares full content on hash
+# collision, so two distinct blobs can never resolve to the same sketch
+# (a prefix+suffix+length digest had a ~2^-32 silent-collision window).
+# Python caches a bytes object's hash, and the broadcast hands every batch
+# the same object, so steady-state lookups stay O(1) with no re-hash.
+_SKETCH_CACHE: dict[bytes, Cqf] = {}
 
 
 def _cached_sketch(blob: bytes) -> Cqf:
-    key = hash(blob[:64] + blob[-16:] + len(blob).to_bytes(8, "little"))
-    sk = _SKETCH_CACHE.get(key)
+    sk = _SKETCH_CACHE.get(blob)
     if sk is None:
         sk = Cqf.from_bytes(blob)
         if len(_SKETCH_CACHE) > 8:
             _SKETCH_CACHE.clear()
-        _SKETCH_CACHE[key] = sk
+        _SKETCH_CACHE[blob] = sk
     return sk
 
 
@@ -258,6 +262,25 @@ def build_sketches(
     return pruned.mapInArrow(build, schema=SKETCH_SCHEMA)
 
 
+def merge_group_key(n_groups: int) -> Any:
+    """Group key for one tree-merge fan-in round: a Murmur3 hash of the
+    row id, mod n_groups.
+
+    ``pmod(monotonically_increasing_id(), n_groups)`` is WRONG here: after
+    ``build_sketches`` every partition holds exactly one row at local index
+    0, so ids are ``partition_id * 2^33`` — and ``pid*2^33 mod n_groups``
+    only takes ``n_groups / gcd(2^33, n_groups)`` distinct values.  At 4096
+    partitions with n_groups=64 every blob lands in group 0 and one task
+    does the whole k-way merge (the serial tail the fan-in topology exists
+    to avoid).  Hashing the id first (Murmur3, F.hash) destroys the 2^33
+    stride, so all groups fill at any partition count; merge results are
+    order-independent, so grouping is a pure load-balancing choice.
+    """
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_groups))
+
+
 def tree_merge(sketch_df: Any, fan_in: int = 64) -> Cqf:
     """UDAF *merge* phase: k-way merge of sketch blobs (qf_multi_merge
     semantics, src/gqf.c:2479-2544).
@@ -287,9 +310,7 @@ def tree_merge(sketch_df: Any, fan_in: int = 64) -> Cqf:
     while n > fan_in:
         n_groups = int(math.ceil(n / fan_in))
         df = (
-            df.withColumn(
-                "g", F.pmod(F.monotonically_increasing_id(), F.lit(n_groups))
-            )
+            df.withColumn("g", merge_group_key(n_groups))
             .groupBy("g")
             .applyInPandas(merge_group, schema="sketch binary")
         )
@@ -375,9 +396,12 @@ def query_value_udf(spark: Any, sketch: Cqf):
     @pandas_udf(LongType())
     def _value(keys: pd.Series) -> pd.Series:
         sk = _cached_sketch(blob.value)
-        counts, values = sk.query(keys.to_numpy().astype(np.int64).view(np.uint64))
+        na = keys.isna().to_numpy()
+        counts, values = sk.query(
+            keys.fillna(0).to_numpy().astype(np.int64).view(np.uint64)
+        )
         out = values.astype(np.int64)
-        out[counts == 0] = -1
+        out[(counts == 0) | na] = -1  # null probes read as absent
         return pd.Series(out)
 
     return _value

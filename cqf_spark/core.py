@@ -464,6 +464,22 @@ class Cqf:
 
     # ------------------------------------------------------------------ #
     # mutation (all canonical rebuilds)
+    #
+    # KNOWN COST-MODEL DEVIATION (documented, deliberate): the reference
+    # mutates in place with an O(cluster-length) amortized slot splice
+    # (insert1/_remove, src/gqf.c:1183-1553), so a single point update on
+    # an N-item filter costs ~O(1).  Here every mutation decodes and
+    # canonically REBUILDS the whole sketch — O(N) per call — because the
+    # canonical layout is what makes serialization merge-order-invariant
+    # (bit-identical bytes regardless of build order), which the
+    # distributed correctness story rests on.  Batch mutations amortize
+    # this: insert/remove with a k-row batch is one O(N + k log k)
+    # rebuild, and the streaming path (streaming.StreamingSketchBuilder's
+    # LSM base+delta) turns continuous point updates into periodic batch
+    # compactions.  What you must NOT do at scale is loop .set_count()/
+    # .remove() one key at a time on a big sketch — that is O(N) per key
+    # where the reference is O(1); push the keys through one batched call
+    # or the LSM builder instead (README "Cost model" section).
     # ------------------------------------------------------------------ #
 
     def _apply_delta(self, hashes: np.ndarray, deltas: np.ndarray) -> "Cqf":

@@ -120,6 +120,57 @@ def hyperplane_signatures(
     )
 
 
+def multi_table_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0xA11,
+) -> DataFrame:
+    """All ``n_tables`` hyperplane signatures in ONE pass over the corpus:
+    the per-table (dim, n_bits) projections are stacked into a single
+    (dim, n_tables*n_bits) matrix, so one matmul per Arrow batch yields
+    every table's bits, emitted long-format as (id, table, sig).
+
+    At 100 TB this is the difference between reading the corpus once and
+    reading it n_tables times (the r02 layout ran n_tables separate
+    mapInPandas passes + n_tables joins).  Each table's planes come from
+    ``default_rng(seed + t)`` exactly as the per-table path generates them,
+    so signatures — and therefore candidate sets — are bit-identical to
+    ``hyperplane_signatures(df, ..., seed + t)``.
+    """
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed + t).standard_normal((dim, n_bits))
+            for t in range(n_tables)
+        ],
+        axis=1,
+    )  # (dim, n_tables * n_bits)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    tables = np.arange(n_tables, dtype=np.int64)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
+            bits = (m @ planes) > 0  # (n, n_tables * n_bits)
+            sigs = bits.reshape(len(pdf), n_tables, n_bits) @ weights
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(tables, len(pdf)),
+                    "sig": sigs.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sig, schema=f"{id_col} long, table int, sig long"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,23 +184,23 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: candidates = corpus rows sharing a signature with the
     query in ANY of n_tables independent hyperplane tables; exact cosine
-    rerank of candidates only.  Returns (query_id, rank, vec_id, cos)."""
-    tables = []
-    for t in range(n_tables):
-        cs = hyperplane_signatures(corpus, dim, n_bits, id_col, vec_col, seed + t)
-        qs = hyperplane_signatures(queries, dim, n_bits, id_col, vec_col, seed + t)
-        tables.append(
-            cs.join(
-                qs.select(
-                    F.col(id_col).alias("query_id"), F.col("sig")
-                ),
-                "sig",
-            ).select("query_id", id_col)
-        )
-    cand: DataFrame = tables[0]
-    for t in tables[1:]:
-        cand = cand.unionByName(t)
-    cand = cand.where(F.col(id_col) != F.col("query_id")).distinct()
+    rerank of candidates only.  Returns (query_id, rank, vec_id, cos).
+
+    All n_tables signatures come from a SINGLE corpus pass
+    (:func:`multi_table_signatures`) and a single (table, sig) equi-join —
+    the corpus is scanned once, not n_tables times."""
+    cs = multi_table_signatures(
+        corpus, dim, n_bits, n_tables, id_col, vec_col, seed
+    )
+    qs = multi_table_signatures(
+        queries, dim, n_bits, n_tables, id_col, vec_col, seed
+    ).select(F.col(id_col).alias("query_id"), "table", "sig")
+    cand = (
+        cs.join(F.broadcast(qs), ["table", "sig"])
+        .select("query_id", id_col)
+        .where(F.col(id_col) != F.col("query_id"))
+        .distinct()
+    )
 
     c = with_unit_vectors(corpus, vec_col).select(
         F.col(id_col), F.col("_unit").alias("cv")
@@ -180,46 +231,12 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    centroids: DataFrame,
-    k: int = 10,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) ANN top-k — the cell-partitioned scale path.
-
-    * **Assign** (map-side, no shuffle): every corpus row scores against
-      the broadcast centroid set with codegen ``zip_with``/``aggregate``
-      dot products and takes its cell via ``array_max`` over
-      ``struct(score, cell)`` — one pass, no key shuffle, O(n * n_cells * d)
-      flops in whole-stage codegen.  At 100 TB this is the same cost shape
-      as reading the data once.
-    * **Probe**: each query ranks the same centroid set and keeps its top
-      ``nprobe`` cells; candidates are corpus rows assigned to any probed
-      cell — a join on the (tiny) cell id, so ~nprobe/n_cells of the
-      corpus is scored per query instead of all of it.
-    * **Rerank**: exact cosine on candidates only, window top-k.
-
-    Centroids are supplied by the caller (a deterministic corpus sample
-    here; a k-means output in production — the operator is agnostic).
-    Scores are rounded to 4 decimals before every argmax/rank with id
-    tie-breaks, so results are reproducible bit-for-bit across engines
-    (the tolerance the brute-force oracle has already proven sufficient).
-    Returns (query_id, rank, vec_id, cos).
-    """
-    cent = with_unit_vectors(centroids, vec_col).select(
-        F.col(id_col).alias("cell"), F.col("_unit").alias("mv")
-    )
-    cent_rows = cent.collect()  # n_cells rows — tiny by construction
-    c = with_unit_vectors(corpus, vec_col).select(
-        F.col(id_col), F.col("_unit").alias("cv")
-    )
-    q = with_unit_vectors(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
-    )
+def _ivf_assign_codegen(
+    c: DataFrame, q: DataFrame, cent_rows: list, nprobe: int, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Literal-centroid assignment/probe: whole-stage-codegen dot products
+    against F.lit arrays.  Plan size grows O(n_cells * dim) — small cell
+    sets only (see :func:`ivf_topk`)."""
 
     def dot(vec_field: str, mv: list) -> Any:
         lit = F.array(*[F.lit(float(x)) for x in mv])
@@ -267,6 +284,133 @@ def ivf_topk(
         .where(F.col("cell_rank") <= nprobe)
         .select("query_id", "qv", "cell")
     )
+    return assigned, probe
+
+
+def _ivf_assign_udf(
+    c: DataFrame, q: DataFrame, cent_rows: list, nprobe: int, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Broadcast-matrix assignment/probe: one numpy matmul + arg-top per
+    Arrow batch against the broadcast (n_cells, dim) centroid matrix.
+
+    Ordering is identical to the codegen path: scores round half-up to 4
+    decimals (Spark's ROUND), ties break to the larger cell id.  The
+    composite sort key ``score_i * n_cells + ascending-cell-rank`` encodes
+    exactly that order in one int64, so argmax/argsort need no tie logic.
+    """
+    spark = c.sparkSession
+    cent_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r["mv"], dtype=np.float64) for r in cent_rows])
+    order = np.argsort(cent_ids)  # index order == ascending cell id
+    bc = spark.sparkContext.broadcast((cent_ids[order], cent_mat[order]))
+    n_cells = len(cent_rows)
+
+    def _keys(m: np.ndarray, mat: np.ndarray) -> np.ndarray:
+        s = m @ mat.T  # (n, n_cells)
+        # round HALF-UP at 4 decimals (F.round semantics; np.round is
+        # half-even) then fold the tie-break into one integer key
+        si = (np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5)).astype(np.int64)
+        return si * np.int64(n_cells) + np.arange(n_cells, dtype=np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["cv"].to_numpy())
+            best = np.argmax(_keys(m, mat), axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cv": pdf["cv"], "cell": ids[best]}
+            )
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        top = min(nprobe, n_cells)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["qv"].to_numpy())
+            idx = np.argsort(-_keys(m, mat), axis=1)[:, :top]  # (n, top)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), top),
+                    "qv": pdf["qv"].iloc[
+                        np.repeat(np.arange(len(pdf)), top)
+                    ].to_numpy(),
+                    "cell": ids[idx].reshape(-1),
+                }
+            )
+
+    assigned = c.mapInPandas(
+        assign, schema=f"{id_col} long, cv array<double>, cell long"
+    )
+    probe = q.mapInPandas(
+        probe_fn, schema="query_id long, qv array<double>, cell long"
+    )
+    return assigned, probe
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_via_udf: bool | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the cell-partitioned scale path.
+
+    * **Assign** (map-side, no shuffle): every corpus row scores against
+      the broadcast centroid set with codegen ``zip_with``/``aggregate``
+      dot products and takes its cell via ``array_max`` over
+      ``struct(score, cell)`` — one pass, no key shuffle, O(n * n_cells * d)
+      flops in whole-stage codegen.  At 100 TB this is the same cost shape
+      as reading the data once.
+    * **Probe**: each query ranks the same centroid set and keeps its top
+      ``nprobe`` cells; candidates are corpus rows assigned to any probed
+      cell — a join on the (tiny) cell id, so ~nprobe/n_cells of the
+      corpus is scored per query instead of all of it.
+    * **Rerank**: exact cosine on candidates only, window top-k.
+
+    Centroids are supplied by the caller (a deterministic corpus sample
+    here; a k-means output in production — the operator is agnostic).
+    Scores are rounded to 4 decimals before every argmax/rank with id
+    tie-breaks, so results are reproducible bit-for-bit across engines
+    (the tolerance the brute-force oracle has already proven sufficient).
+    Returns (query_id, rank, vec_id, cos).
+
+    Two interchangeable assignment engines (identical results, proven by
+    unit test):
+
+    * codegen (default for small cell sets): every centroid is embedded
+      as dim ``F.lit`` doubles — whole-stage-codegen dot products, zero
+      Python, but the Catalyst plan itself is O(n_cells * dim)
+      expressions, which becomes the bottleneck past a few hundred cells.
+    * pandas UDF (``assign_via_udf``, auto at n_cells > 256 — the
+      production path at 10^4-10^5 cells): the (n_cells, dim) centroid
+      matrix is broadcast ONCE as numpy; each Arrow batch does a single
+      matmul + arg-top.  Still map-side, still zero corpus shuffle — the
+      plan stays O(1) regardless of cell count.
+    """
+    cent = with_unit_vectors(centroids, vec_col).select(
+        F.col(id_col).alias("cell"), F.col("_unit").alias("mv")
+    )
+    cent_rows = cent.collect()  # n_cells rows — tiny by construction
+    if assign_via_udf is None:
+        assign_via_udf = len(cent_rows) > 256
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col), F.col("_unit").alias("cv")
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
+    )
+
+    if assign_via_udf:
+        assigned, probe = _ivf_assign_udf(c, q, cent_rows, nprobe, id_col)
+    else:
+        assigned, probe = _ivf_assign_codegen(c, q, cent_rows, nprobe, id_col)
 
     scored = (
         assigned.join(F.broadcast(probe), "cell")
@@ -305,24 +449,29 @@ def cosine_near_dup_pairs(
     seed: int = 0xA11,
 ) -> DataFrame:
     """All pairs with cosine >= threshold: signature-bucket self-join
-    candidates, exact verification (i < j)."""
-    tables = []
-    for t in range(n_tables):
-        s = hyperplane_signatures(corpus, dim, n_bits, id_col, vec_col, seed + t)
-        a, b = s.alias("a"), s.alias("b")
-        tables.append(
-            a.join(
-                b,
-                (F.col("a.sig") == F.col("b.sig"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            ).select(
-                F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
-            )
+    candidates, exact verification (i < j).
+
+    One signature pass over the corpus emits every table's signature
+    (:func:`multi_table_signatures`); the self-join equi-matches on
+    (table, sig), so a pair colliding in ANY table becomes a candidate —
+    identical candidate set to n_tables separate joins, at 1/n_tables the
+    corpus scanning."""
+    s = multi_table_signatures(
+        corpus, dim, n_bits, n_tables, id_col, vec_col, seed
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-    cand: DataFrame = tables[0]
-    for t in tables[1:]:
-        cand = cand.unionByName(t)
-    cand = cand.distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
+        )
+        .distinct()
+    )
     u = with_unit_vectors(corpus, vec_col).select(
         F.col(id_col), F.col("_unit")
     )

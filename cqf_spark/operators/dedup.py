@@ -273,7 +273,37 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs with hamming distance <= max_hamming via pigeonhole banding:
     split 64 bits into max_hamming+1 chunks; any close pair must agree on
-    at least one chunk (candidate join), then exact popcount verify."""
+    at least one chunk (candidate join), then exact popcount verify.
+
+    **Scale bound (read before raising the corpus size):** with k =
+    max_hamming+1 bands of width w = 64//k bits, two UNRELATED documents
+    collide in one band with probability ~2^-w, so the expected random
+    candidate count is ~k * n^2 / 2^(w+1) — at the default w=16 that is
+    ~n^2/2^15 pairs, which stays sub-linear-per-doc only up to n ~ 10^8
+    documents.  Beyond that, either (a) widen signatures to 128 bits so
+    w doubles (Charikar's construction extends directly — generate two
+    independent 64-bit planes per token), or (b) band on chunk *pairs*
+    (C(k,2) joins on 2w-bit prefixes, correct for hamming <= k-2), or
+    (c) shard the corpus and run per-shard + cross-shard passes.  The
+    verify stage is cheap (one XOR+popcount per candidate); it is the
+    candidate JOIN's shuffle that grows quadratically.  A seeded unit
+    test (tests/test_round3.py::test_simhash_candidate_bound) pins the
+    candidate count against this bound so a banding regression is caught
+    at test scale."""
+    cand = simhash_candidates(sig_df, id_col, max_hamming)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select("i", "j", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_candidates(
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Banded candidate pairs (i, j, sa, sb) before the exact hamming
+    verify — exposed separately so tests can pin the candidate count
+    against the ~k*n^2/2^(w+1) random-collision bound documented on
+    :func:`simhash_pairs`."""
     k = max_hamming + 1
     width = 64 // k
     chunks = [
@@ -286,7 +316,7 @@ def simhash_pairs(
         id_col, "simhash", F.posexplode(F.array(*chunks)).alias("band", "ch")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -300,8 +330,4 @@ def simhash_pairs(
             F.col("b.simhash").alias("sb"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.select("i", "j", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )

@@ -254,6 +254,54 @@ def q_zipf_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe
 
 
+def q_items_from_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_iterator_from_key_value as a driver-gated range scan
+    (src/gqf.c:2234-2308): seek to a planted key's slot, emit everything
+    from there to the end.
+
+    NONE mode (pre-hashed keys, src/gqf.c:1918-1924) makes the gate
+    exactly SQL-expressible: the identity hash means iteration order ==
+    key order, so ``items_from(k0)`` must emit exactly the stored keys
+    >= k0 with their exact multiplicities — any seek landing early, late,
+    or mid-run changes the row set and fails the value-hash compare.
+    """
+    none_cfg = CqfConfig(key_bits=32, hash_mode=HashMode.NONE, seed=0)
+    li = load(spark, sf_dir, "lineitem")
+    sketch = cqf_aggregate(li, "l_partkey", none_cfg)
+    k0 = 1000
+    hashes, counts = sketch.items_from(k0)
+    rows = [(int(h), int(c)) for h, c in zip(hashes.tolist(), counts.tolist())]
+    return spark.createDataFrame(rows, "l_partkey long, approx_count long")
+
+
+def q_point_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_copy / qf_set_count / qf_remove / qf_delete_key_value / qf_reset
+    as one driver-gated contract query (src/gqf.c:1790-2016).
+
+    A copy of the supplier-count sketch takes three point mutations
+    (set_count to 777, remove 3, delete); the original must be untouched
+    (copy isolation) and the mutated counts must match the oracle's CASE
+    arithmetic exactly (INVERTIBLE mode: zero collisions).  ``reset_n``
+    pins qf_reset: a reset copy holds zero elements.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sketch = cqf_aggregate(li, "l_suppkey", INT_CONFIG)
+    mutated = sketch.copy()
+    mutated = mutated.set_count(1, 777)
+    mutated = mutated.remove(
+        np.array([2], dtype=np.uint64), np.array([3], dtype=np.uint64)
+    )
+    mutated = mutated.delete_key_value(3)
+    reset_n = sketch.copy().reset().nelts
+    probes = li.select("l_suppkey").distinct()
+    return probes.select(
+        "l_suppkey",
+        count_udf(spark, sketch)("l_suppkey").alias("orig_count"),
+        count_udf(spark, mutated)("l_suppkey").alias("mutated_count"),
+        F.lit(int(reset_n)).cast("long").alias("reset_n"),
+    )
+
+
 def q_grouped_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + sketch agg: one CQF per event_type in a single pass
     (map-side partials per group, blob-only shuffle) — per-group stream
@@ -438,6 +486,8 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_sharded_multiplicity": q_sharded_multiplicity,
     "cqf_sharded_set_algebra": q_sharded_set_algebra,
     "cqf_grouped_sketch_stats": q_grouped_sketch_stats,
+    "cqf_items_from_seek": q_items_from_seek,
+    "cqf_point_mutations": q_point_mutations,
     "cqf_unique_index_partkey": q_unique_index_partkey,
     "cqf_streaming_token_counts": q_streaming_token_counts,
     "cqf_streaming_grouped_lang": q_streaming_grouped_lang,
@@ -498,6 +548,18 @@ SKETCH_ORACLES: dict[str, str] = {
         "SELECT range AS key, "
         "CAST(FLOOR(200000.0 / (range * SQRT(range))) AS BIGINT) AS approx_count "
         "FROM range(1, 4001)"
+    ),
+    "cqf_items_from_seek": (
+        "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem "
+        "WHERE l_partkey >= 1000 GROUP BY l_partkey"
+    ),
+    "cqf_point_mutations": (
+        "SELECT l_suppkey, COUNT(*) AS orig_count, "
+        "CASE l_suppkey WHEN 1 THEN 777 "
+        "WHEN 2 THEN GREATEST(COUNT(*) - 3, 0) "
+        "WHEN 3 THEN 0 ELSE COUNT(*) END AS mutated_count, "
+        "CAST(0 AS BIGINT) AS reset_n "
+        "FROM lineitem GROUP BY l_suppkey"
     ),
     "cqf_unique_index_partkey": (
         "SELECT COUNT(DISTINCT l_partkey) AS n_keys, TRUE AS all_present, "
