@@ -407,6 +407,30 @@ def query_value_udf(spark: Any, sketch: Cqf):
     return _value
 
 
+def unique_index_udf(spark: Any, sketch: Cqf):
+    """pandas UDF: qf_get_unique_index per key (src/gqf.c:2095-2132) —
+    the slot index of the key's counter (perfect-hash handle), -1 when
+    absent or null.  Broadcast sketch, whole-batch numpy probe — the
+    distributed twin of :meth:`Cqf.unique_indexes`."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    ensure_shipped(spark)
+    blob = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @pandas_udf(LongType())
+    def _uidx(keys: pd.Series) -> pd.Series:
+        sk = _cached_sketch(blob.value)
+        na = keys.isna().to_numpy()
+        out = sk.unique_indexes(
+            keys.fillna(0).to_numpy().astype(np.int64).view(np.uint64)
+        )
+        out[na] = -1
+        return pd.Series(out)
+
+    return _uidx
+
+
 def build_sketches_grouped(
     df: Any,
     group_col: str,

@@ -924,6 +924,38 @@ class Cqf:
         with open(path, "rb") as f:
             return cls.from_reference_bytes(f.read())
 
+    @classmethod
+    def resize_file(cls, path: str, new_qbits: int) -> "Cqf":
+        """qf_resize_file analog (src/gqf_file.c:170-228): rewrite a
+        persisted sketch at a new slot count and atomically replace the
+        original file.
+
+        The reference creates ``path_nslots``, re-inserts every item, and
+        renames it over the old file; here the same protocol is a load →
+        in-memory canonical rebuild at ``new_qbits`` → write-to-temp →
+        ``os.replace`` (atomic on POSIX), so a crash mid-resize leaves the
+        original file intact.  Both on-disk formats are supported and
+        preserved: our columnar wire format and the C library's mmap
+        image (detected by magic).
+        """
+        import os
+
+        with open(path, "rb") as f:
+            head = f.read(8)
+            data = head + f.read()
+        (magic,) = struct.unpack_from("<Q", head, 0)
+        is_ref = magic == cls._REF_MAGIC
+        sk = (cls.from_reference_bytes if is_ref else cls.from_bytes)(data)
+        resized = sk.resized(new_qbits)
+        out = resized.to_reference_bytes() if is_ref else resized.to_bytes()
+        tmp = f"{path}_resize_{1 << new_qbits}"  # the reference's path_nslots
+        with open(tmp, "wb") as f:
+            f.write(out)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return resized
+
     def canonicalized(self) -> "Cqf":
         """Re-lay out from decoded content (zeroes any garbage the C
         library's unzeroed malloc left in unused slots, making

@@ -356,31 +356,34 @@ def q_unique_index_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qf_get_unique_index as a driver-gated contract check
     (src/gqf.c:2095-2132): every present key gets an index, the indexes
     are pairwise DISTINCT (the perfect-hash handle property), absent keys
-    get -1.  The oracle pins the key count and the contract booleans."""
-    import numpy as np
+    get -1.  The oracle pins the key count and the contract booleans.
+
+    Fully distributed (r03): probe keys never collect to the driver — the
+    broadcast-sketch ``unique_index_udf`` indexes every distinct key
+    executor-side and the contract booleans are Spark aggregates."""
+    from .aggregator import unique_index_udf
 
     li = load(spark, sf_dir, "lineitem")
     sketch = cqf_aggregate(li, "l_partkey", INT_CONFIG)
-    keys = np.array(
-        [r[0] for r in li.select("l_partkey").distinct().collect()],
-        dtype=np.uint64,
-    )
-    idx = sketch.unique_indexes(keys)
-    absent = sketch.unique_indexes(
-        np.arange(900_000_000, 900_000_100, dtype=np.uint64)
-    )
-    row = [
-        (
-            int(keys.size),
-            bool((idx >= 0).all()),
-            bool(np.unique(idx).size == idx.size),
-            bool((absent == -1).all()),
+    uidx = unique_index_udf(spark, sketch)
+    present = (
+        li.select("l_partkey")
+        .distinct()
+        .select(uidx("l_partkey").alias("idx"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            (F.min("idx") >= 0).alias("all_present"),
+            (F.count_distinct(F.col("idx")) == F.count("*")).alias(
+                "all_unique"
+            ),
         )
-    ]
-    return spark.createDataFrame(
-        row, "n_keys long, all_present boolean, all_unique boolean, "
-        "absent_is_minus1 boolean"
     )
+    absent = (
+        spark.range(900_000_000, 900_000_100)
+        .select(uidx(F.col("id")).alias("idx"))
+        .agg((F.max("idx") == -1).alias("absent_is_minus1"))
+    )
+    return present.crossJoin(absent)
 
 
 def q_streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -207,6 +207,59 @@ def test_ivf_udf_assignment_matches_codegen(spark):
 
 
 # --------------------------------------------------------------------- #
+# file-backed resize rotation (qf_resize_file, gqf_file.c:170-228)
+# --------------------------------------------------------------------- #
+
+def test_resize_file_rotates_both_formats(tmp_path):
+    keys = np.arange(5000, dtype=np.uint64)
+    sk = Cqf.from_hashes(CFG, hash_keys(keys, CFG))
+    q0 = sk.geom.qbits
+
+    own = str(tmp_path / "own.cqfsk")
+    with open(own, "wb") as f:
+        f.write(sk.to_bytes())
+    grown = Cqf.resize_file(own, q0 + 2)
+    assert grown.geom.qbits == q0 + 2
+    reloaded = Cqf.from_bytes(open(own, "rb").read())
+    assert reloaded.geom.qbits == q0 + 2
+    assert (reloaded.count_hashes(hash_keys(keys, CFG)) == 1).all()
+
+    ref = str(tmp_path / "ref.cqf")
+    sk.to_reference_file(ref)
+    Cqf.resize_file(ref, q0 + 1)
+    reloaded_ref = Cqf.from_reference_file(ref)  # format preserved
+    assert reloaded_ref.geom.qbits == q0 + 1
+    assert (reloaded_ref.count_hashes(hash_keys(keys, CFG)) == 1).all()
+    # no stray temp files left behind
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["own.cqfsk", "ref.cqf"]
+
+
+# --------------------------------------------------------------------- #
+# distributed unique_index probes (VERDICT r02 residual #6)
+# --------------------------------------------------------------------- #
+
+def test_unique_index_udf_matches_local(spark):
+    from cqf_spark.aggregator import unique_index_udf
+
+    keys = np.arange(1, 400, dtype=np.uint64)
+    sk = Cqf.from_hashes(CFG, hash_keys(keys, CFG))
+    probes = list(range(1, 400, 7)) + [100_000, None]
+    df = spark.createDataFrame([(k,) for k in probes], "k long")
+    got = {
+        r["k"]: r["idx"]
+        for r in df.select(
+            "k", unique_index_udf(spark, sk)("k").alias("idx")
+        ).collect()
+    }
+    local = sk.unique_indexes(
+        np.array([p for p in probes if p is not None], dtype=np.uint64)
+    )
+    for p, want in zip([p for p in probes if p is not None], local):
+        assert got[p] == want
+    assert got[100_000] == -1 and got[None] == -1
+
+
+# --------------------------------------------------------------------- #
 # SimHash candidate bound (VERDICT r02 #8)
 # --------------------------------------------------------------------- #
 
