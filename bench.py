@@ -111,8 +111,11 @@ def main() -> None:
 
     # Each query runs TRIALS times; the per-query number is the best
     # (steady-state) wall — the min is the least host-steal-contaminated
-    # estimate on this VM (see BENCH.md "environment caveats").
-    TRIALS = 2
+    # estimate on this VM (see BENCH.md "environment caveats").  3 trials
+    # because the heavier pipelines (webtext bigram) reach steady state on
+    # the third pass (first pass pays page-fault warmup of fresh
+    # cache/shuffle buffers; measured 4.9 -> 2.0 -> 1.3 s).
+    TRIALS = 3
     registry = all_queries()
     timings: dict[str, float] = {}
     for name in headline:
