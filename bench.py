@@ -43,6 +43,10 @@ def make_spark(cores: int):
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.local.dir", "/dev/shm/spark-local")  # /tmp is disk-backed here; blob shuffles belong in RAM
+        # tmpfs shuffle -> lz4 is pure CPU overhead (no disk/network to
+        # shrink); a real cluster shuffling over the wire wants it on
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "8g")
