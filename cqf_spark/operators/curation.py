@@ -1,0 +1,125 @@
+"""End-to-end training-data curation: the composition a 100 TB pretraining
+pipeline actually runs, as one declarative query.
+
+    quality filter  ->  language filter  ->  MinHash-LSH dedup (keep the
+    smallest doc_id of every near-dup pair)  ->  surviving corpus
+
+Every stage is an operator this library already gates individually
+(text_queries.quality_scores / lang_id, dedup.minhash_dedup_pairs); the
+point of the composed query is that the WHOLE pipeline has one exact
+DuckDB oracle — quality/lang are pure SQL expressions, and the LSH dedup
+provably equals exhaustive Jaccard at these parameters (see
+dedup_queries), so the oracle recomputes the exact surviving set.
+
+100 TB shape: quality + lang are whole-stage-codegen map work on the
+scan; MinHash signatures are partition-local (shingles never shuffle);
+the banded candidate join touches only colliding buckets; and the final
+keep/drop is a broadcast anti-join on the (tiny relative to the corpus)
+dropped-id set.  No stage shuffles raw text except the band join of the
+deduped SUBSET's signatures.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import minhash_dedup_pairs
+from .text_queries import LANG_PROFILES, lang_id, quality_scores
+
+MIN_TOKENS = 30
+MIN_ALPHA = 0.81
+KEEP_LANGS = ("en", "de", "fr", "es")
+JACCARD = 0.8
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+    langs: tuple[str, ...] = KEEP_LANGS,
+    jaccard: float = JACCARD,
+) -> DataFrame:
+    """Surviving (doc_id, pred_lang, n_tokens) after quality, language,
+    and near-dup filtering.
+
+    Dedup rule: a doc is dropped iff it has a near-duplicate (exact
+    Jaccard >= ``jaccard``) with a SMALLER doc_id among the
+    quality+lang survivors — the standard greedy keep-canonical rule,
+    deterministic and expressible identically in SQL (``doc_id NOT IN
+    (SELECT j FROM pairs)``), no transitive closure needed.
+    """
+    q = quality_scores(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    l = lang_id(docs)
+    kept = (
+        docs.select("doc_id", "text")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("alpha_ratio") >= min_alpha)
+            & F.col("pred_lang").isin(*langs)
+        )
+    )
+    pairs = minhash_dedup_pairs(kept.select("doc_id", "text"), threshold=jaccard)
+    dropped = pairs.select(F.col("j").alias("doc_id")).distinct()
+    return (
+        kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "n_tokens")
+    )
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus(docs)
+
+
+def _curation_oracle() -> str:
+    langs = ", ".join(repr(x) for x in KEEP_LANGS)
+    score = {
+        lg: (
+            "len(list_filter(string_split(lower(text), ' '), "
+            f"x -> list_contains([{', '.join(repr(w) for w in prof)}], x)))"
+        )
+        for lg, prof in LANG_PROFILES.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    cases = " ".join(
+        f"WHEN {score[lg]} = {best} THEN '{lg}'" for lg in LANG_PROFILES
+    )
+    return f"""
+WITH feat AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         ROUND(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / LENGTH(text), 4) AS alpha_ratio,
+         CASE WHEN {best} = 0 THEN 'und' {cases} END AS pred_lang
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, pred_lang, n_tokens FROM feat
+  WHERE n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
+    AND pred_lang IN ({langs})),
+t AS (SELECT doc_id, string_split(text, ' ') l FROM kept),
+sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g FROM t),
+sh AS (SELECT DISTINCT doc_id, g FROM sh0),
+pairs AS (SELECT a.doc_id i, b.doc_id j, COUNT(*) inter FROM sh a
+          JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+dups AS (
+  SELECT DISTINCT p.j AS doc_id FROM pairs p
+  JOIN sizes sa ON p.i = sa.doc_id JOIN sizes sb ON p.j = sb.doc_id
+  WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= {JACCARD})
+SELECT doc_id, pred_lang, n_tokens FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curate_training_corpus": q_curate_corpus,
+}
+
+CURATION_ORACLES: dict[str, str] = {
+    "curate_training_corpus": _curation_oracle(),
+}

@@ -24,6 +24,7 @@ for _mod, _q, _o in [
     ("ann_queries", "ANN_QUERIES", "ANN_ORACLES"),
     ("sketch_family_queries", "FAMILY_QUERIES", "FAMILY_ORACLES"),
     ("multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
+    ("curation", "CURATION_QUERIES", "CURATION_ORACLES"),
 ]:
     try:
         _m = __import__(f"cqf_spark.operators.{_mod}", fromlist=[_q, _o])
