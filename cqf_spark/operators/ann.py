@@ -438,6 +438,111 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    init_mod: int = 29,
+    init_rem: int = 3,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) centroid trainer — the production
+    source of :func:`ivf_topk`'s centroid set.
+
+    * **Init**: unit vectors of the deterministic corpus sample
+      ``vec_id % init_mod == init_rem`` (cell id = vec_id) — no RNG, so
+      the whole training run is reproducible and SQL-mirrorable.
+    * **Assign** (per iteration): every corpus row scores against the
+      broadcast (k, dim) centroid matrix in one numpy matmul per Arrow
+      batch — same rounded-score half-up + larger-cell tie key as the
+      IVF assignment, so an engine recomputing with ROUND/ROW_NUMBER
+      gets identical cells.  Map-side; the corpus never shuffles.
+    * **Update**: per-cell per-dimension mean of assigned UNIT vectors
+      (posexplode -> groupBy(cell, dim).avg — the only shuffle, k*dim
+      rows), re-normalized and ROUNDED to 6 decimals before the next
+      iteration, so float summation order cannot drift across engines
+      or runs.  Cells that lose all members keep their previous
+      centroid (deterministic; mirrored by the oracle's COALESCE).
+
+    Returns one row per (cell, dim): ``(cell, i, val, n_members)`` with
+    ``i`` 1-based, ``val`` the final centroid component, ``n_members``
+    the cell's final assignment count.  At 100 TB each iteration is one
+    scan + one k*dim-row aggregate — the textbook scalable Lloyd's.
+    """
+    spark = corpus.sparkSession
+    unit = with_unit_vectors(corpus, vec_col).select(
+        id_col, F.col("_unit").alias("u")
+    )
+    init = (
+        unit.where(F.col(id_col) % init_mod == init_rem)
+        .orderBy(id_col)
+        .collect()
+    )
+    cells = np.array([int(r[id_col]) for r in init], dtype=np.int64)
+    # centroids are STORED rounded to 6 decimals at every step (init
+    # included) so float-summation order can never drift across engines;
+    # scoring re-normalizes the rounded rows, which is exactly what
+    # cosine-similarity of the raw vectors computes in SQL
+    cent = np.round(
+        np.stack([np.asarray(r["u"], dtype=np.float64) for r in init]), 6
+    )
+
+    def assigned_df(cent_mat: np.ndarray) -> DataFrame:
+        unit_rows = cent_mat / np.sqrt(
+            (cent_mat * cent_mat).sum(axis=1, keepdims=True)
+        )
+        bc = spark.sparkContext.broadcast((cells, unit_rows))
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids, mat = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.stack(pdf["u"].to_numpy())
+                s = m @ mat.T
+                si = (np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5)).astype(
+                    np.int64
+                )
+                key = si * np.int64(len(ids)) + np.arange(
+                    len(ids), dtype=np.int64
+                )
+                best = np.argmax(key, axis=1)
+                yield pd.DataFrame({"cell": ids[best], "u": pdf["u"]})
+
+        return unit.mapInPandas(assign, schema="cell long, u array<double>")
+
+    for _ in range(iters):
+        rows = (
+            assigned_df(cent)
+            .select("cell", F.posexplode("u").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+            .collect()
+        )
+        means: dict[int, np.ndarray] = {}
+        for r in rows:
+            means.setdefault(int(r["cell"]), np.zeros(cent.shape[1]))[
+                int(r["i"])
+            ] = r["m"]
+        new = cent.copy()  # empty cells keep their previous centroid
+        for j, c in enumerate(cells):
+            if int(c) in means:
+                m = means[int(c)]
+                new[j] = np.round(m / np.sqrt((m * m).sum()), 6)
+        cent = new
+
+    counts_rows = assigned_df(cent).groupBy("cell").count().collect()
+    counts = {int(r["cell"]): int(r["count"]) for r in counts_rows}
+    out = [
+        (int(c), i + 1, float(cent[j, i]), counts.get(int(c), 0))
+        for j, c in enumerate(cells)
+        for i in range(cent.shape[1])
+    ]
+    return spark.createDataFrame(
+        out, "cell long, i int, val double, n_members long"
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

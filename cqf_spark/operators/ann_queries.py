@@ -114,10 +114,71 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("i", "j", F.round("cos", 4).alias("cos"))
 
 
+KM_MOD = 29  # k-means init sample rule: vec_id % KM_MOD == 3
+KM_ITERS = 2
+
+
+def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means centroid training with a FULL value oracle: init
+    is a deterministic corpus sample, every assign step uses rounded
+    scores with fixed tie-breaks, and centroids round to 6 decimals per
+    iteration — so DuckDB re-runs both Lloyd iterations exactly and every
+    (cell, dim, value, member-count) row is value-compared."""
+    from .ann import kmeans_centroids
+
+    emb = _emb(spark, sf_dir)
+    return kmeans_centroids(emb, init_mod=KM_MOD, init_rem=3, iters=KM_ITERS)
+
+
+def _kmeans_oracle() -> str:
+    def iteration(prev: str, n: int) -> str:
+        return f"""
+a{n} AS (SELECT vec_id, u, cell FROM (
+   SELECT x.vec_id, x.u, t.cell,
+     ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       ORDER BY ROUND(list_cosine_similarity(x.u, t.c), 4) DESC,
+                t.cell DESC) rn
+   FROM u x CROSS JOIN {prev} t) WHERE rn = 1),
+m{n} AS (SELECT a.cell, t.i, AVG(a.u[t.i]) AS m
+       FROM a{n} a CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) t
+       GROUP BY a.cell, t.i),
+nr{n} AS (SELECT cell, SQRT(SUM(m * m)) nrm FROM m{n} GROUP BY cell),
+cl{n} AS (SELECT m{n}.cell, m{n}.i, ROUND(m{n}.m / nr{n}.nrm, 6) val
+        FROM m{n} JOIN nr{n} USING (cell)),
+c{n} AS (SELECT p.cell,
+          CASE WHEN COUNT(cl{n}.val) = 0 THEN ANY_VALUE(p.c)
+               ELSE LIST(cl{n}.val ORDER BY cl{n}.i) END AS c
+        FROM {prev} p LEFT JOIN cl{n} ON p.cell = cl{n}.cell
+        GROUP BY p.cell)"""
+
+    return f"""
+WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+u AS (SELECT vec_id, list_transform(v,
+        x -> x / SQRT(list_sum(list_transform(v, y -> y * y)))) AS u
+      FROM corp),
+c0 AS (SELECT vec_id AS cell, list_transform(u, x -> ROUND(x, 6)) AS c
+       FROM u WHERE vec_id % {KM_MOD} = 3),
+{iteration('c0', 1)},
+{iteration('c1', 2)},
+afin AS (SELECT cell FROM (
+   SELECT x.vec_id, t.cell,
+     ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       ORDER BY ROUND(list_cosine_similarity(x.u, t.c), 4) DESC,
+                t.cell DESC) rn
+   FROM u x CROSS JOIN c2 t) WHERE rn = 1),
+cnt AS (SELECT cell, COUNT(*) n FROM afin GROUP BY cell)
+SELECT c2.cell, CAST(t.i AS INT) AS i, c2.c[t.i] AS val,
+       COALESCE(cnt.n, 0) AS n_members
+FROM c2 CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) t
+LEFT JOIN cnt ON cnt.cell = c2.cell
+"""
+
+
 ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force_topk": q_ann_brute_force,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_kmeans_centroids": q_ann_kmeans,
     "dedup_embedding_cosine": q_embedding_near_dups,
 }
 
@@ -175,6 +236,7 @@ SELECT query_id, rank, vec_id, cos FROM (
                        ORDER BY cos DESC, vec_id) AS rank
   FROM cand) WHERE rank <= {K}
 """,
+    "ann_kmeans_centroids": _kmeans_oracle(),
     "dedup_embedding_cosine": (
         f"WITH corpus AS (SELECT vec_id, embedding FROM embeddings "
         f"UNION ALL SELECT vec_id + 1000000, "
