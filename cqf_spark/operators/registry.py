@@ -34,4 +34,4 @@ for _mod, _q, _o in [
         pass
 
 # headline pipeline queries the bench harness times at sf0.1
-BENCH_QUERIES = ["webtext_bigram_multiplicity"]
+BENCH_QUERIES = ["webtext_bigram_multiplicity", "curate_training_corpus"]
