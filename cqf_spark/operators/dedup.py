@@ -280,11 +280,10 @@ def simhash_pairs(
     collide in one band with probability ~2^-w, so the expected random
     candidate count is ~k * n^2 / 2^(w+1) — at the default w=16 that is
     ~n^2/2^15 pairs, which stays sub-linear-per-doc only up to n ~ 10^8
-    documents.  Beyond that, either (a) widen signatures to 128 bits so
-    w doubles (Charikar's construction extends directly — generate two
-    independent 64-bit planes per token), or (b) band on chunk *pairs*
-    (C(k,2) joins on 2w-bit prefixes, correct for hamming <= k-2), or
-    (c) shard the corpus and run per-shard + cross-shard passes.  The
+    documents.  Beyond that, use :func:`simhash_signatures_wide` +
+    :func:`simhash_pairs_wide` — 128-bit signatures banded on chunk
+    PAIRS (32-bit keys, ~28*n^2/2^33 random candidates, sub-linear to
+    ~10^10 docs); or (c) shard the corpus per-shard + cross-shard.  The
     verify stage is cheap (one XOR+popcount per candidate); it is the
     candidate JOIN's shuffle that grows quadratically.  A seeded unit
     test (tests/test_round3.py::test_simhash_candidate_bound) pins the
@@ -330,4 +329,108 @@ def simhash_candidates(
             F.col("b.simhash").alias("sb"),
         )
         .distinct()
+    )
+
+
+# ------------------------------------------------------------------ #
+# SimHash-128: the >10^8-doc scale path documented on simhash_pairs
+# ------------------------------------------------------------------ #
+
+def simhash_signatures_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0x51A,
+) -> DataFrame:
+    """128-bit SimHash as two independent 64-bit planes (token hashes
+    under two seeds) — option (a) of the scale bound on
+    :func:`simhash_pairs`.  Emits (id, sim_lo, sim_hi); same 1-D reduceat
+    construction per plane, no 2-D broadcast."""
+
+    def plane(texts: pd.Series, s: int) -> np.ndarray:
+        th, tok_start, ntok = space_token_hashes(texts, s)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for b in range(64):
+            ones = np.add.reduceat(
+                ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                tok_start,
+            )
+            out |= ((2 * ones) > ntok).astype(np.uint64) << np.uint64(b)
+        return out
+
+    def sims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sim_lo": plane(pdf[text_col], seed).astype(np.int64),
+                    "sim_hi": plane(
+                        pdf[text_col], seed ^ 0x9E3779B9
+                    ).astype(np.int64),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        sims, schema=f"{id_col} long, sim_lo long, sim_hi long"
+    )
+
+
+def simhash_pairs_wide(
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming <= max_hamming pairs over 128-bit signatures via
+    CHUNK-PAIR banding — the wider-prefix scheme from the
+    :func:`simhash_pairs` scale bound.
+
+    128 bits split into 8 chunks of 16; a pair within hamming 3 has at
+    most 3 differing chunks, so at least one of the C(8,2)=28 chunk
+    PAIRS matches on both members (pigeonhole on C(5,2) >= 1).  Each
+    band key is 32 bits, so expected random candidates are
+    ~28 * n^2 / 2^33 — sub-linear-per-doc to ~10^10 documents, vs
+    ~n^2/2^15 for the 64-bit single-chunk scheme.  Exact popcount
+    verification over both words follows, as always.
+    """
+    words = [(F.col("sim_lo"), 0), (F.col("sim_hi"), 4)]
+    chunks = []
+    for w, base in words:
+        for i in range(4):
+            chunks.append(
+                F.shiftrightunsigned(w, i * 16).bitwiseAND(F.lit(0xFFFF))
+            )
+    combos = [
+        (chunks[a].bitwiseAND(F.lit(0xFFFF)) * F.lit(65536) + chunks[b]).alias("ch")
+        for a in range(8)
+        for b in range(a + 1, 8)
+    ]
+    buckets = sig_df.select(
+        id_col,
+        "sim_lo",
+        "sim_hi",
+        F.posexplode(F.array(*combos)).alias("band", "ch"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            F.col("a.sim_lo").alias("la"),
+            F.col("a.sim_hi").alias("ha"),
+            F.col("b.sim_lo").alias("lb"),
+            F.col("b.sim_hi").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    )
+    return cand.select("i", "j", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
     )

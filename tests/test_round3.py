@@ -310,3 +310,64 @@ def test_simhash_candidate_bound(spark):
     k, w = 4, 16
     expected = k * n * n / 2 ** (w + 1)  # ~122 at these parameters
     assert got <= 8 * expected, f"{got} candidates vs bound ~{expected:.0f}"
+
+
+# --------------------------------------------------------------------- #
+# SimHash-128 chunk-pair banding (the >10^8-doc scale path)
+# --------------------------------------------------------------------- #
+
+def test_simhash_wide_matches_bruteforce(spark, sf_dir):
+    """Chunk-pair banding must find EXACTLY the all-pairs hamming<=3 set
+    (pigeonhole guarantee: <=3 bad bits touch <=3 of 8 chunks, so some
+    chunk PAIR matches), including a planted exact copy."""
+    from cqf_spark.operators.dedup import (
+        simhash_pairs_wide,
+        simhash_signatures_wide,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") < 120)
+    copies = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    sigs = simhash_signatures_wide(corpus)
+    rows = {r.doc_id: (r.sim_lo, r.sim_hi) for r in sigs.collect()}
+    ham = lambda a, b: (
+        bin((a[0] ^ b[0]) & (2**64 - 1)).count("1")
+        + bin((a[1] ^ b[1]) & (2**64 - 1)).count("1")
+    )
+    ids = sorted(rows)
+    want = {
+        (i, j)
+        for ii, i in enumerate(ids)
+        for j in ids[ii + 1 :]
+        if ham(rows[i], rows[j]) <= 3
+    }
+    got = {(r.i, r.j) for r in simhash_pairs_wide(sigs, max_hamming=3).collect()}
+    assert got == want
+    # every planted copy pair present at hamming 0
+    for d in rows:
+        if d >= 500000:
+            assert (d - 500000, d) in got
+
+
+def test_simhash_wide_candidate_bound(spark):
+    """Random 128-bit signatures: expected random candidates
+    ~28*n^2/2^33 (~0.01 at n=2000) — candidate join must stay empty-ish,
+    the whole point of the wider prefix."""
+    from cqf_spark.operators.dedup import simhash_pairs_wide
+
+    n = 2000
+    rng = np.random.default_rng(0xFACE)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "sim_lo": rng.integers(0, 2**63, n, dtype=np.int64),
+                "sim_hi": rng.integers(0, 2**63, n, dtype=np.int64),
+            }
+        )
+    )
+    assert simhash_pairs_wide(df, max_hamming=3).count() <= 5
