@@ -79,3 +79,40 @@ def test_ivf_corpus_never_shuffles_before_cell_join(spark, sf_dir):
         if re.search(r"\bExchange \(\d+\)", l) and "hashpartitioning" in l
     ]
     assert len(shuffles) <= 1, plan
+
+
+def test_curation_python_stages_bounded_and_broadcast_drop(spark, sf_dir):
+    """The curation pipeline's plan: quality+lang are pure codegen (no
+    Python stage of their own), MinHash signatures contribute at most the
+    band self-join's two sides (NEVER one stage per band), and the final
+    keep/drop is a broadcast anti-join (dropped ids are tiny next to the
+    corpus)."""
+    from cqf_spark.operators.curation import q_curate_corpus
+
+    plan = _plan(q_curate_corpus(spark, sf_dir), spark)
+    import re
+
+    n_python = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    assert 1 <= n_python <= 2, plan  # signature stage(s) only
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_kmeans_update_aggregates_map_side(spark, sf_dir):
+    """The Lloyd update's per-(cell, dim) mean must partially aggregate
+    BEFORE its exchange (map-side combine), and that exchange — carrying
+    k*dim rows, not the corpus — must be the plan's only one."""
+    import re
+
+    from cqf_spark.operators.ann import with_unit_vectors
+
+    emb = load(spark, sf_dir, "embeddings")
+    unit = with_unit_vectors(emb).select("vec_id", F.col("_unit").alias("u"))
+    agg = (
+        unit.select(F.lit(0).alias("cell"), F.posexplode("u").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("m"))
+    )
+    plan = _plan(agg, spark)
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+    # dataflow order: partial HashAggregate feeds the Exchange
+    assert re.search(r"Exchange \(\d+\)\n\s*\+- HashAggregate", plan), plan
