@@ -103,11 +103,43 @@ def q_url_trigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first dedup key of every crawl
+    pipeline — over planted messy variants of the synthesized urls:
+    uppercased scheme+host (v1), explicit default port + tracking params
+    + fragment (v2), trailing /index.html (v3).  The oracle computes the
+    EXPECTED canonical form from (source, doc_id) directly — it does not
+    mirror the regex chain, so a canonicalizer bug cannot cancel out.
+    """
+    from ..webtext import canonical_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    page = F.concat(F.lit("/page-"), F.col("doc_id").cast("string"))
+    clean = F.concat(F.lit("https://"), host, page, F.lit(".html"))
+    v = (F.col("doc_id") % 4).cast("int")
+    messy = (
+        F.when(v == 1, F.concat(F.upper(F.concat(F.lit("https://"), host)),
+                                page, F.lit(".html")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), page,
+                               F.lit(".html?utm_source=feed&ref=rss#top")))
+        .when(v == 3, F.concat(F.lit("https://"), host, page,
+                               F.lit("/index.html")))
+        .otherwise(clean)
+    )
+    return docs.select(
+        "doc_id", v.alias("variant"), canonical_url(messy).alias("canon")
+    )
+
+
 WEBTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtext_extract_identity": q_extract_identity,
     "webtext_bigram_multiplicity": q_bigram_multiplicity,
     "webtext_url_host_counts": q_url_host_counts,
     "webtext_url_trigram_multiplicity": q_url_trigram_multiplicity,
+    "webtext_url_canonicalize": q_url_canonicalize,
     "webtext_pages_per_day": q_pages_per_day,
 }
 
@@ -135,5 +167,12 @@ WEBTEXT_ORACLES: dict[str, str] = {
         "SELECT CAST(FLOOR((1700000000 + doc_id * 97) / 86400) AS BIGINT) "
         "AS epoch_day, COUNT(*) AS approx_count FROM documents "
         "GROUP BY epoch_day"
+    ),
+    "webtext_url_canonicalize": (
+        "SELECT doc_id, CAST(doc_id % 4 AS INT) AS variant, "
+        "CASE WHEN doc_id % 4 = 3 THEN "
+        "'https://' || source || '.example.org/page-' || doc_id || '/' "
+        "ELSE 'https://' || source || '.example.org/page-' || doc_id "
+        "|| '.html' END AS canon FROM documents"
     ),
 }

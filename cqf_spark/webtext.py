@@ -24,6 +24,7 @@ the exact pattern set — no locale, no env, no dict iteration order.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -254,3 +255,31 @@ def build_token_sketches(pages: DataFrame, config):
     return pages.select("html").mapInPandas(
         run, schema="sketch binary, nelts long, n_rows long"
     )
+
+
+def canonical_url(col: Any) -> Any:
+    """Canonical form of a crawl URL — the first dedup key every
+    Common-Crawl-style pipeline applies before any content hashing:
+
+    1. drop the fragment (``#...``),
+    2. lowercase the scheme+host (path stays case-sensitive),
+    3. drop an explicit default port (``:443`` https / ``:80`` http),
+    4. drop tracking query params (``utm_*``, ``ref``) and any emptied
+       ``?``/``&`` leftovers,
+    5. drop a trailing ``/index.html``.
+
+    Pure codegen ``regexp_replace`` chain — runs inside the scan's
+    whole-stage codegen at 100 TB, and every step is mirrorable in ANSI
+    SQL (the driver oracle recomputes it in DuckDB).
+    """
+    c = F.regexp_replace(col, "#.*$", "")
+    c = F.concat(
+        F.lower(F.regexp_extract(c, "(?i)^(https?://[^/]+)", 1)),
+        F.regexp_replace(c, "(?i)^https?://[^/]+", ""),
+    )
+    c = F.regexp_replace(c, "^(https://[^/:]+):443(?=/|$)", "$1")
+    c = F.regexp_replace(c, "^(http://[^/:]+):80(?=/|$)", "$1")
+    c = F.regexp_replace(c, "(utm_[a-z]+|ref)=[^&#]*&?", "")
+    c = F.regexp_replace(c, "[?&]+$", "")
+    c = F.regexp_replace(c, "/index\\.html$", "/")
+    return c
