@@ -107,9 +107,13 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization — the first dedup key of every crawl
     pipeline — over planted messy variants of the synthesized urls:
     uppercased scheme+host (v1), explicit default port + tracking params
-    + fragment (v2), trailing /index.html (v3).  The oracle computes the
-    EXPECTED canonical form from (source, doc_id) directly — it does not
-    mirror the regex chain, so a canonicalizer bug cannot cancel out.
+    + fragment (v2), trailing /index.html (v3), tracking params
+    interleaved with params that must SURVIVE (v4), and the adversarial
+    shapes a naive unanchored regex corrupts — an Amazon-style ``/ref=``
+    path segment plus an ``href=`` param whose name merely ends in a
+    tracking name (v5).  The oracle computes the EXPECTED canonical form
+    from (source, doc_id) directly — it does not mirror the regex chain,
+    so a canonicalizer bug cannot cancel out.
     """
     from ..webtext import canonical_url
 
@@ -119,7 +123,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = F.concat(F.col("source"), F.lit(".example.org"))
     page = F.concat(F.lit("/page-"), F.col("doc_id").cast("string"))
     clean = F.concat(F.lit("https://"), host, page, F.lit(".html"))
-    v = (F.col("doc_id") % 4).cast("int")
+    v = (F.col("doc_id") % 6).cast("int")
     messy = (
         F.when(v == 1, F.concat(F.upper(F.concat(F.lit("https://"), host)),
                                 page, F.lit(".html")))
@@ -127,6 +131,12 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit(".html?utm_source=feed&ref=rss#top")))
         .when(v == 3, F.concat(F.lit("https://"), host, page,
                                F.lit("/index.html")))
+        .when(v == 4, F.concat(
+            F.lit("https://"), host, page,
+            F.lit(".html?utm_campaign=x&page=2&utm_source=y#frag")))
+        .when(v == 5, F.concat(
+            F.lit("https://"), host, page,
+            F.lit(".html/ref=sr_1_1?href=/a&ref=x")))
         .otherwise(clean)
     )
     return docs.select(
@@ -169,9 +179,16 @@ WEBTEXT_ORACLES: dict[str, str] = {
         "GROUP BY epoch_day"
     ),
     "webtext_url_canonicalize": (
-        "SELECT doc_id, CAST(doc_id % 4 AS INT) AS variant, "
-        "CASE WHEN doc_id % 4 = 3 THEN "
+        "SELECT doc_id, CAST(doc_id % 6 AS INT) AS variant, "
+        "CASE doc_id % 6 "
+        "WHEN 3 THEN "
         "'https://' || source || '.example.org/page-' || doc_id || '/' "
+        "WHEN 4 THEN "
+        "'https://' || source || '.example.org/page-' || doc_id "
+        "|| '.html?page=2' "
+        "WHEN 5 THEN "
+        "'https://' || source || '.example.org/page-' || doc_id "
+        "|| '.html/ref=sr_1_1?href=/a' "
         "ELSE 'https://' || source || '.example.org/page-' || doc_id "
         "|| '.html' END AS canon FROM documents"
     ),

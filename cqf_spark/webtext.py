@@ -117,6 +117,27 @@ _ENTITIES = [
 ]
 
 
+def _decode_utf8_series(html: pd.Series) -> pd.Series:
+    """bytes -> str for a whole Arrow batch at buffer level (no per-row
+    Python): a single binary->string cast validates and re-views the
+    buffers.  Only a batch that actually contains invalid UTF-8 falls
+    back to the per-row ``errors="replace"`` decode — same output, cold
+    path only.  Nulls decode to ''."""
+    import pyarrow as pa
+
+    try:
+        arr = pa.array(html, type=pa.large_binary())
+        s = arr.cast(pa.large_string()).to_pandas()
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return html.map(
+            lambda b: b.decode("utf-8", errors="replace")
+            if b is not None
+            else ""
+        )
+    s.index = html.index
+    return s.fillna("")
+
+
 def extract_text_series(html: pd.Series) -> pd.Series:
     """Vectorized html->text: one Arrow batch in, one out.
 
@@ -125,9 +146,7 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     NFC-free (bytes in -> exact UTF-8 out), whitespace collapsed to single
     spaces and trimmed.
     """
-    s = html.map(
-        lambda b: b.decode("utf-8", errors="replace") if b is not None else ""
-    )
+    s = _decode_utf8_series(html)
     s = s.str.replace(_STRIP_BLOCKS, " ", regex=True)
     s = s.str.replace(_STRIP_TAGS, " ", regex=True)
     for ent, ch in _ENTITIES:
@@ -265,7 +284,12 @@ def canonical_url(col: Any) -> Any:
     2. lowercase the scheme+host (path stays case-sensitive),
     3. drop an explicit default port (``:443`` https / ``:80`` http),
     4. drop tracking query params (``utm_*``, ``ref``) and any emptied
-       ``?``/``&`` leftovers,
+       ``?``/``&`` leftovers — the param NAME is anchored to a ``?``/``&``
+       separator, so path segments like Amazon's ``/ref=sr_1_1`` and
+       params whose name merely ENDS in a tracking name (``href=``,
+       ``pref=``) are untouched; a maximal RUN of consecutive tracking
+       params collapses to its leading separator in one match, so the
+       separator of a following kept param survives,
     5. drop a trailing ``/index.html``.
 
     Pure codegen ``regexp_replace`` chain — runs inside the scan's
@@ -279,7 +303,13 @@ def canonical_url(col: Any) -> Any:
     )
     c = F.regexp_replace(c, "^(https://[^/:]+):443(?=/|$)", "$1")
     c = F.regexp_replace(c, "^(http://[^/:]+):80(?=/|$)", "$1")
-    c = F.regexp_replace(c, "(utm_[a-z]+|ref)=[^&#]*&?", "")
+    # one maximal run of tracking params (each ending at '&' or EOS)
+    # collapses to its leading separator; a kept param following the run
+    # then sits directly after that separator.  '?utm_a=1&page=2' ->
+    # '?page=2'; '?page=2&utm_a=1' -> '?page=2&' -> trailing cleanup.
+    c = F.regexp_replace(
+        c, "([?&])(?:(?:utm_[a-z]+|ref)=[^&#]*(?:&|$))+", "$1"
+    )
     c = F.regexp_replace(c, "[?&]+$", "")
     c = F.regexp_replace(c, "/index\\.html$", "/")
     return c

@@ -1,0 +1,82 @@
+"""Round-4 regressions: canonical_url separator anchoring, buffer-level
+UTF-8 decode, conditional IVF probe broadcast, bounded k-means init,
+cogrouped sharded probe join, de-drivered sketch-family gates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- #
+# canonical_url: tracking-param stripping anchored to [?&] (ADVICE r3)
+# --------------------------------------------------------------------- #
+
+CANON_CASES = [
+    # (messy, expected)
+    ("https://a.example/x.html#frag", "https://a.example/x.html"),
+    ("HTTPS://A.Example/Path.html", "https://a.example/Path.html"),
+    ("https://a.example:443/x", "https://a.example/x"),
+    ("http://a.example:80/x", "http://a.example/x"),
+    # tracking runs collapse; kept params keep a valid separator
+    ("https://a.example/x?utm_source=f&ref=rss", "https://a.example/x"),
+    ("https://a.example/x?utm_a=1&page=2", "https://a.example/x?page=2"),
+    ("https://a.example/x?page=2&utm_a=1", "https://a.example/x?page=2"),
+    (
+        "https://a.example/x?utm_a=1&page=2&utm_b=3&q=4",
+        "https://a.example/x?page=2&q=4",
+    ),
+    # Amazon-style path segment: ref NOT preceded by [?&] must survive
+    (
+        "https://a.example/dp/B0/ref=sr_1_1?ref=x",
+        "https://a.example/dp/B0/ref=sr_1_1",
+    ),
+    # param names that merely END in a tracking name must survive
+    ("https://a.example/x?href=/a&ref=x", "https://a.example/x?href=/a"),
+    ("https://a.example/x?pref=dark", "https://a.example/x?pref=dark"),
+    ("https://a.example/p/index.html", "https://a.example/p/"),
+    # tracking param cut off by the fragment strip, then removed
+    ("https://a.example/x?ref=1#u?page=2", "https://a.example/x"),
+]
+
+
+def test_canonical_url_messy_variants(spark):
+    from cqf_spark.webtext import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, m) for i, (m, _) in enumerate(CANON_CASES)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["canon"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("canon"))
+        .collect()
+    }
+    for i, (messy, want) in enumerate(CANON_CASES):
+        assert got[i] == want, f"{messy!r}: got {got[i]!r}, want {want!r}"
+
+
+# --------------------------------------------------------------------- #
+# buffer-level UTF-8 decode (webtext extraction hot path)
+# --------------------------------------------------------------------- #
+
+def test_decode_utf8_series_matches_per_row():
+    from cqf_spark.webtext import _decode_utf8_series
+
+    valid = pd.Series([b"hello", "caf\xe9 ☃".encode(), b"", None])
+    out = _decode_utf8_series(valid)
+    assert list(out) == ["hello", "caf\xe9 ☃", "", ""]
+
+    # invalid UTF-8 takes the fallback path, errors="replace" semantics
+    bad = pd.Series([b"ok", b"\xff\xfe broken", None])
+    out = _decode_utf8_series(bad)
+    assert list(out) == ["ok", b"\xff\xfe broken".decode("utf-8", "replace"), ""]
+
+
+def test_extract_text_has_no_per_row_decode_lambda():
+    """The r3 finding: no `.map(lambda` on the extraction hot path."""
+    import inspect
+
+    from cqf_spark import webtext
+
+    src = inspect.getsource(webtext.extract_text_series)
+    assert ".map(lambda" not in src
