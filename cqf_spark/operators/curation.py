@@ -8,15 +8,21 @@ Every stage is an operator this library already gates individually
 (text_queries.quality_scores / lang_id, dedup.minhash_dedup_pairs); the
 point of the composed query is that the WHOLE pipeline has one exact
 DuckDB oracle — quality/lang are pure SQL expressions, and the LSH dedup
-provably equals exhaustive Jaccard at these parameters (see
-dedup_queries), so the oracle recomputes the exact surviving set.
+matches exhaustive Jaccard with per-pair miss probability ~(1-J^4)^32
+(≈5e-8 at J=0.8, see dedup_queries); with the fixed data and seeds the
+composed result is deterministic, so the gate compares real rows — on
+NEW data the probabilistic dedup can legitimately diverge from the
+exact-Jaccard oracle at that ~5e-8 per-pair rate.
 
-100 TB shape: quality + lang are whole-stage-codegen map work on the
-scan; MinHash signatures are partition-local (shingles never shuffle);
-the banded candidate join touches only colliding buckets; and the final
-keep/drop is a broadcast anti-join on the (tiny relative to the corpus)
-dropped-id set.  No stage shuffles raw text except the band join of the
-deduped SUBSET's signatures.
+100 TB shape: quality + lang + token counts are computed as expressions
+in ONE ``select`` over the scan (no doc_id self-joins — whole-stage
+codegen map work); MinHash signatures are partition-local (shingles
+never shuffle); the banded candidate join touches only colliding
+buckets; and the final keep/drop is a plain anti-join on the dropped-id
+set with NO forced broadcast — web-crawl dup rates of 20-40% make the
+drop set corpus-proportional, so AQE picks broadcast only when the
+runtime size allows it.  No stage shuffles raw text except the band
+join of the deduped SUBSET's signatures.
 """
 
 from __future__ import annotations
@@ -27,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import minhash_dedup_pairs
-from .text_queries import LANG_PROFILES, lang_id, quality_scores
+from .text_queries import (
+    LANG_PROFILES,
+    alpha_ratio_expr,
+    lang_pred_expr,
+    n_tokens_expr,
+)
 
 MIN_TOKENS = 30
 MIN_ALPHA = 0.81
@@ -51,12 +62,16 @@ def curate_corpus(
     deterministic and expressible identically in SQL (``doc_id NOT IN
     (SELECT j FROM pairs)``), no transitive closure needed.
     """
-    q = quality_scores(docs).select("doc_id", "n_tokens", "alpha_ratio")
-    l = lang_id(docs)
+    # all three features are pure codegen expressions of the text column:
+    # ONE select over the scan, no doc_id self-joins (VERDICT r3 #2)
     kept = (
-        docs.select("doc_id", "text")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
+        docs.select(
+            "doc_id",
+            "text",
+            n_tokens_expr("text").alias("n_tokens"),
+            alpha_ratio_expr("text").alias("alpha_ratio"),
+            lang_pred_expr("text").alias("pred_lang"),
+        )
         .where(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("alpha_ratio") >= min_alpha)
@@ -65,8 +80,10 @@ def curate_corpus(
     )
     pairs = minhash_dedup_pairs(kept.select("doc_id", "text"), threshold=jaccard)
     dropped = pairs.select(F.col("j").alias("doc_id")).distinct()
+    # no broadcast hint: the drop set is corpus-proportional on real crawl
+    # data (20-40% dup rates) — AQE broadcasts it only when actually small
     return (
-        kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+        kept.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "pred_lang", "n_tokens")
     )
 

@@ -41,14 +41,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality scoring — native expressions only
 # --------------------------------------------------------------------- #
 
+def n_tokens_expr(text_col: str = "text"):
+    """Whitespace token count as a bare Column (see :func:`lang_pred_expr`
+    for why the expression form exists)."""
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def alpha_ratio_expr(text_col: str = "text"):
+    """Alphabetic-character ratio as a bare Column."""
+    return F.round(
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+        / F.length(text_col),
+        4,
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: char/token counts, mean token length,
     stopword ratio, alpha ratio.  All codegen expressions."""
     toks = F.split(F.col(text_col), " ")
-    n_toks = F.size(toks)
+    n_toks = n_tokens_expr(text_col)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-stopword count
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
     return docs.select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
@@ -59,7 +73,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_stop / F.size(F.array_distinct(toks)), 4).alias(
             "stopword_type_ratio"
         ),
-        F.round(alpha_chars / F.length(text_col), 4).alias("alpha_ratio"),
+        alpha_ratio_expr(text_col).alias("alpha_ratio"),
     )
 
 
@@ -84,15 +98,11 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language ID — stopword-profile hit rate, pure codegen expressions
 # --------------------------------------------------------------------- #
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Predict language by stopword-profile occurrence count over the
-    lowercased token stream; 'und' (undetermined) when no profile scores
-    above zero.  Deterministic tie-break by profile order.
-
-    Whole-stage codegen end to end (filter/array_contains lambdas compile
-    to Catalyst HigherOrderFunctions) — and exactly mirrorable in SQL, so
-    the driver gate compares real predictions, not a rows-only count.
-    """
+def lang_pred_expr(text_col: str = "text"):
+    """The language-ID prediction as a bare Column expression, so callers
+    composing multiple text features (e.g. the curation pipeline) can put
+    it in the SAME ``select`` over one scan instead of joining
+    :func:`lang_id`'s output back on doc_id."""
     toks = F.split(F.lower(F.col(text_col)), " ")
 
     def _score(prof: list[str]):
@@ -104,7 +114,19 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for lg in LANG_PROFILES:  # first profile reaching the max wins ties
         pred = pred.when(scores[lg] == best, F.lit(lg))
-    return docs.select("doc_id", pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language by stopword-profile occurrence count over the
+    lowercased token stream; 'und' (undetermined) when no profile scores
+    above zero.  Deterministic tie-break by profile order.
+
+    Whole-stage codegen end to end (filter/array_contains lambdas compile
+    to Catalyst HigherOrderFunctions) — and exactly mirrorable in SQL, so
+    the driver gate compares real predictions, not a rows-only count.
+    """
+    return docs.select("doc_id", lang_pred_expr(text_col).alias("pred_lang"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

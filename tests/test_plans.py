@@ -81,20 +81,33 @@ def test_ivf_corpus_never_shuffles_before_cell_join(spark, sf_dir):
     assert len(shuffles) <= 1, plan
 
 
-def test_curation_python_stages_bounded_and_broadcast_drop(spark, sf_dir):
-    """The curation pipeline's plan: quality+lang are pure codegen (no
-    Python stage of their own), MinHash signatures contribute at most the
-    band self-join's two sides (NEVER one stage per band), and the final
-    keep/drop is a broadcast anti-join (dropped ids are tiny next to the
-    corpus)."""
-    from cqf_spark.operators.curation import q_curate_corpus
-
-    plan = _plan(q_curate_corpus(spark, sf_dir), spark)
+def test_curation_python_stages_bounded_no_feature_self_joins(spark, sf_dir):
+    """The curation pipeline's plan: quality+lang+token features are pure
+    codegen expressions fused into the SAME select over the scan (no
+    doc_id self-joins — VERDICT r3 #2), MinHash signatures contribute at
+    most the band self-join's two sides (NEVER one stage per band), and
+    the final keep/drop anti-join carries no forced broadcast hint (the
+    drop set is corpus-proportional on real crawls; AQE decides)."""
     import re
 
+    from cqf_spark.operators.curation import q_curate_corpus
+
+    df = q_curate_corpus(spark, sf_dir)
+    plan = _plan(df, spark)
     n_python = len(re.findall(r"\(\d+\) MapInPandas", plan))
     assert 1 <= n_python <= 2, plan  # signature stage(s) only
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "LeftAnti" in plan, plan
+    # exactly ONE join is keyed on doc_id (the anti-join: left+right key
+    # lines) — the two r3 feature self-joins on doc_id are gone; the
+    # dedup-internal joins key on band/bucket and i/j
+    doc_id_keys = len(re.findall(r"keys \[\d+\]: \[doc_id#", plan))
+    assert doc_id_keys == 2, plan
+    # the drop-set anti-join must not carry a forced broadcast hint
+    import inspect
+
+    from cqf_spark.operators.curation import curate_corpus
+
+    assert "F.broadcast(dropped" not in inspect.getsource(curate_corpus)
 
 
 def test_kmeans_update_aggregates_map_side(spark, sf_dir):
