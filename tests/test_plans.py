@@ -60,6 +60,54 @@ def test_sharded_build_single_blob_shuffle(spark, sf_dir):
     assert schema_line.strip() == "ReadSchema: struct<l_partkey:bigint>"
 
 
+def test_sharded_probe_exchange_carries_no_blobs(spark, sf_dir):
+    """count_join's probe shuffle must move (key, shard, salt) rows ONLY
+    (VERDICT r3 #1: the r3 plan attached the sketch blob to every probe
+    row before its groupBy exchange and force-broadcast the full shard
+    set).  Blobs may appear in exactly one exchange — the cogroup's
+    one-row-per-(shard,salt) side — and in no broadcast."""
+    import re
+
+    from cqf_spark.sharded import ShardedCqf
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = ShardedCqf.aggregate(li, "l_partkey", INT_CONFIG, n_shards=8)
+    probes = li.select("l_partkey").distinct()
+    plan = _plan(sk.count_join(probes, "l_partkey"), spark)
+    # split the details section into per-node blocks
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    sketch_exchanges = 0
+    for b in blocks:
+        header = b.splitlines()[0]
+        if re.match(r"\(\d+\) Exchange", header):
+            input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+            if "l_partkey" in input_line:
+                assert "sketch" not in input_line, b  # probe side clean
+            if "sketch" in input_line:
+                sketch_exchanges += 1
+        if re.match(r"\(\d+\) BroadcastExchange", header):
+            input_line = next(l for l in b.splitlines() if l.startswith("Input"))
+            assert "sketch" not in input_line, b  # no full-shard broadcast
+    # blob-only exchanges: the build's per-shard merge + the cogroup's
+    # one-row-per-(shard,salt) side — both bounded by cluster/shard
+    # count, never by probe count
+    assert sketch_exchanges <= 2, plan
+    # the cogroup's probe (left) input itself must carry no binary
+    cg = next(b for b in blocks if "FlatMapCoGroupsInPandas" in b.splitlines()[0])
+    left_line = next(l for l in cg.splitlines() if l.startswith("Left output"))
+    assert "sketch" not in left_line, cg
+    # and the cogrouped probe answer still matches the exact counts
+    got = {
+        r[0]: r[1]
+        for r in sk.count_join(probes, "l_partkey").collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in li.groupBy("l_partkey").count().collect()
+    }
+    assert all(got[k] >= v for k, v in exact.items())  # no false negatives
+
+
 def test_ivf_corpus_never_shuffles_before_cell_join(spark, sf_dir):
     """IVF cell assignment is pure map-side expression work and the probe
     side broadcasts: the corpus must reach the candidate join through
