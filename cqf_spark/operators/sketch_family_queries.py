@@ -76,16 +76,41 @@ def q_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-false-negative + FP-bound gate with NO full-column driver
+    materialization (VERDICT r3 #7): the present-key FN count and the
+    disjoint-universe FP rate are both Spark aggregates over a broadcast
+    filter blob — the driver sees three scalars (the distinct count to
+    size the filter, then the two aggregate rows)."""
     orders = _load(spark, sf_dir, "orders")
-    nd = orders.select(F.countDistinct("o_custkey")).collect()[0][0]
+    nd = orders.select(F.countDistinct("o_custkey")).collect()[0][0]  # scalar
     bf = sketch_aggregate(
         orders, "o_custkey", lambda: BloomFilter.for_capacity(int(nd), 0.01)
     )
-    present = orders.select("o_custkey").distinct().toPandas()["o_custkey"]
-    fn = int((~bf.contains(hash_any_series(present))).sum())
-    # disjoint probe universe: keys far above any custkey
-    absent = pd.Series(np.arange(10**12, 10**12 + 50_000, dtype=np.int64))
-    fp_rate = float(bf.contains(hash_any_series(absent)).mean())
+    blob = spark.sparkContext.broadcast(bf.to_bytes())
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def bf_contains(keys: pd.Series) -> pd.Series:
+        from ..sketches import from_bytes
+
+        sk = from_bytes(blob.value)
+        return pd.Series(sk.contains(hash_any_series(keys)))
+
+    fn = int(
+        orders.select("o_custkey")
+        .distinct()
+        .agg(F.sum((~bf_contains("o_custkey")).cast("long")))
+        .collect()[0][0]
+    )
+    # disjoint probe universe: keys far above any custkey, generated as a
+    # distributed range (never a driver-side array)
+    fp_rate = float(
+        spark.range(10**12, 10**12 + 50_000)
+        .agg(F.avg(bf_contains(F.col("id").cast("long")).cast("double")))
+        .collect()[0][0]
+    )
     # 2x the analytic mean + absolute floor: single-instance FP rates at
     # small m have high relative variance (the formula is an expectation)
     fp_ok = fp_rate <= max(2.0 * bf.expected_fp_rate(int(nd)), 2e-3)
