@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -322,7 +323,8 @@ def _subprocess_level(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
+WARMUP_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "1"))
 
 
 def _best(levels: list[dict]) -> dict:
@@ -342,25 +344,38 @@ def main() -> None:
     control = hardware_control(n)
     print(f"[scaling] hardware control: {control}", file=sys.stderr)
     los, his = [], []
-    # interleave rounds so bursty host throttling hits both levels equally;
-    # best-of-rounds is the least-contaminated estimate per level
-    for rnd in range(ROUNDS):
-        los.append(_subprocess_level(n))
-        his.append(_subprocess_level(4 * n))
-        print(f"[scaling] round {rnd}: lo={los[-1]} hi={his[-1]}", file=sys.stderr)
+    # interleave rounds so bursty host throttling hits both levels equally.
+    # The first interleaved round is a WARM-UP and is discarded: measured
+    # campaigns show round-0 paired ratios systematically low (0.50 →
+    # 0.79 → 0.94 across one recorded run) because the hi leg pays the
+    # cold OS page cache / host state for both levels; counting it would
+    # bias the median gate down for reasons unrelated to the code.
+    for rnd in range(ROUNDS + WARMUP_ROUNDS):
+        lo_r = _subprocess_level(n)
+        hi_r = _subprocess_level(4 * n)
+        tag = "warmup" if rnd < WARMUP_ROUNDS else f"round {rnd - WARMUP_ROUNDS}"
+        print(f"[scaling] {tag}: lo={lo_r} hi={hi_r}", file=sys.stderr)
+        if rnd >= WARMUP_ROUNDS:
+            los.append(lo_r)
+            his.append(hi_r)
     lo = _best(los)
     hi = _best(his)
-    # Two estimators, different error models (host throttling here is
+    # Three estimators, different error models (host throttling here is
     # bursty AND non-stationary across tens of minutes — see BENCH.md):
     # * mixed best-of: each level's cleanest window, regardless of when it
     #   happened.  Right for ABSOLUTE throughput; biased LOW for the
     #   ratio, because it may divide an 8-core wall from host-state A by
     #   a 2-core wall from host-state B (measured same-day lo floors
     #   drift 31 -> 45 s with no code change).
-    # * matched round: the ratio within one interleaved round (lo and hi
-    #   a few minutes apart, same host state), best round taken.  The
-    #   paired estimator is the standard fix for comparing two
-    #   treatments under drifting conditions; it is what the gate uses.
+    # * best matched round: the ratio within one interleaved round (lo and
+    #   hi a few minutes apart, same host state), best round taken.
+    #   Paired, but biased HIGH by construction: a round whose lo leg was
+    #   throttled while the hi leg was clean inflates the ratio, and
+    #   max-of-rounds keeps exactly those rounds.
+    # * median matched round: the paired estimator with a robust center —
+    #   a single throttled leg in either direction becomes an outlier the
+    #   median discards.  THE GATE USES THIS ONE; the other two are
+    #   reported as supporting evidence only.
     eff_wt = (hi["webtext_tokens_per_s"] / lo["webtext_tokens_per_s"]) / 4.0
     eff_core = (hi["core_inserts_per_s"] / lo["core_inserts_per_s"]) / 4.0
     per_round = [
@@ -375,26 +390,30 @@ def main() -> None:
         }
         for i, (l, h) in enumerate(zip(los, his))
     ]
-    eff_wt_m = max(r["eff_webtext"] for r in per_round)
-    eff_core_m = max(r["eff_core"] for r in per_round)
+    eff_wt_max = max(r["eff_webtext"] for r in per_round)
+    eff_core_max = max(r["eff_core"] for r in per_round)
+    eff_wt_med = round(statistics.median(r["eff_webtext"] for r in per_round), 3)
+    eff_core_med = round(statistics.median(r["eff_core"] for r in per_round), 3)
     out = {
         "metric": "throughput scaling efficiency, local[N] vs local[4N]",
         "N": n,
         "low": lo,
         "high": hi,
-        "efficiency_webtext": round(max(eff_wt, eff_wt_m), 3),
-        "efficiency_core": round(max(eff_core, eff_core_m), 3),
+        "efficiency_webtext": eff_wt_med,
+        "efficiency_core": eff_core_med,
         "efficiency_webtext_mixed_bestof": round(eff_wt, 3),
         "efficiency_core_mixed_bestof": round(eff_core, 3),
-        "efficiency_webtext_matched_round": eff_wt_m,
-        "efficiency_core_matched_round": eff_core_m,
+        "efficiency_webtext_best_matched_round": eff_wt_max,
+        "efficiency_core_best_matched_round": eff_core_max,
+        "efficiency_webtext_median_matched_round": eff_wt_med,
+        "efficiency_core_median_matched_round": eff_core_med,
         "per_round": per_round,
-        "pass_0.8": bool(
-            min(max(eff_wt, eff_wt_m), max(eff_core, eff_core_m)) >= 0.8
-        ),
+        "gate_estimator": "median of per-round paired ratios",
+        "pass_0.8": bool(min(eff_wt_med, eff_core_med) >= 0.8),
         "hardware_control_efficiency": control["efficiency"],
         "sf_dir": SF_DIR,
         "replication": REPL, "core_n": CORE_N,
+        "rounds": ROUNDS, "warmup_rounds": WARMUP_ROUNDS,
     }
     print(json.dumps(out))
     with open(
