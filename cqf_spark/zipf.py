@@ -49,3 +49,50 @@ def zipf_keys(
     if parts:
         rng = rng.repartition(parts)
     return rng.mapInPandas(gen, schema="key long")
+
+
+def uniform_keys(
+    spark: SparkSession,
+    n: int,
+    maxvalue: int = 2**63,
+    seed: int = 0x7E1,
+    parts: int | None = None,
+) -> DataFrame:
+    """DataFrame[key long] of n uniform draws over [0, maxvalue) — the
+    reference's ``uniform_online`` workload generator (src/bm.c:347-378:
+    keys drawn from a seeded PRNG *as the stream is consumed*, not
+    pregenerated).  Spark-native analog: the draw happens inside the
+    executor's mapInPandas batch, so — exactly like the reference mode —
+    key generation cost is inside any window that times this stream, and
+    nothing is materialized up front.  Deterministic in (n, maxvalue,
+    seed) and independent of partitioning (murmur of the row id, not a
+    stateful PRNG, so splitting the range across executors cannot
+    reorder the stream)."""
+    mv = np.uint64(maxvalue)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.int64).view(np.uint64)
+            keys = murmur64a_u64(ids, seed) % mv
+            yield pd.DataFrame({"key": keys.view(np.int64)})
+
+    rng = spark.range(n)
+    if parts:
+        rng = rng.repartition(parts)
+    return rng.mapInPandas(gen, schema="key long")
+
+
+def keys_from_file(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame[key long] from a newline-delimited integer key file —
+    the reference's ``app_file_read`` workload source (src/bm.c:213-255:
+    fscanf one integer per line into the pregen buffer).  Spark-native:
+    ``spark.read.text`` keeps the file read distributed and splittable
+    (a 1 TB key file scans in parallel instead of through one fscanf
+    loop); blank lines are dropped, matching fscanf's whitespace
+    skipping."""
+    from pyspark.sql import functions as F
+
+    txt = spark.read.text(path)
+    return txt.select(
+        F.trim(F.col("value")).try_cast("long").alias("key")
+    ).where(F.col("key").isNotNull())

@@ -157,3 +157,71 @@ def test_kmeans_k_cap_binds_and_keeps_smallest_ids(spark, sf_dir):
     out = kmeans_centroids(emb, init_mod=29, init_rem=3, iters=1, k=k)
     cells = sorted(r[0] for r in out.select("cell").distinct().collect())
     assert cells == full_sample[:k]
+
+
+# --------------------------------------------------------------------- #
+# workload generators: uniform_online + app_file_read analogs (bm.c)
+# --------------------------------------------------------------------- #
+
+def test_uniform_keys_deterministic_and_partition_invariant(spark):
+    from cqf_spark.zipf import uniform_keys
+
+    a = sorted(r[0] for r in uniform_keys(spark, 5000, maxvalue=10**6).collect())
+    b = sorted(
+        r[0] for r in uniform_keys(spark, 5000, maxvalue=10**6, parts=8).collect()
+    )
+    assert a == b  # same stream no matter how the range is partitioned
+    assert len(a) == 5000
+    assert min(a) >= 0 and max(a) < 10**6
+    # a different seed must produce a different stream
+    c = sorted(
+        r[0] for r in uniform_keys(spark, 5000, maxvalue=10**6, seed=7).collect()
+    )
+    assert a != c
+
+
+def test_uniform_keys_is_uniform_enough(spark):
+    # coarse chi-square-style sanity: 10 equal buckets over the range,
+    # each within 3x sqrt(n) of the expectation (fixed seed: no flake)
+    from cqf_spark.zipf import uniform_keys
+
+    n = 20000
+    keys = np.array(
+        [r[0] for r in uniform_keys(spark, n, maxvalue=10**6).collect()]
+    )
+    counts = np.bincount(keys // 10**5, minlength=10)
+    assert (np.abs(counts - n / 10) < 3 * np.sqrt(n)).all(), counts
+
+
+def test_keys_from_file_matches_fscanf_semantics(spark, tmp_path):
+    from cqf_spark.zipf import keys_from_file
+
+    p = tmp_path / "keys.txt"
+    # blank lines and surrounding whitespace are skipped, like fscanf
+    p.write_text("12\n\n  7\n9223372036854775806\n0\n\n")
+    got = sorted(r[0] for r in keys_from_file(spark, str(p)).collect())
+    assert got == [0, 7, 12, 9223372036854775806]
+
+
+def test_keys_from_file_feeds_the_sketch_builder(spark, tmp_path):
+    # app_file_read end-to-end: file-driven keys build a CQF whose counts
+    # match the file's multiset
+    from collections import Counter
+
+    from cqf_spark.config import CqfConfig, HashMode
+    from cqf_spark.core import Cqf, hash_keys
+    from cqf_spark.zipf import keys_from_file
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1000, 500).tolist()
+    p = tmp_path / "keys.txt"
+    p.write_text("\n".join(map(str, vals)) + "\n")
+    keys = np.array(
+        [r[0] for r in keys_from_file(spark, str(p)).collect()], dtype=np.uint64
+    )
+    cfg = CqfConfig(key_bits=20, hash_mode=HashMode.INVERTIBLE, seed=2)
+    sk = Cqf.from_hashes(cfg, hash_keys(keys, cfg))
+    want = Counter(vals)
+    probe = np.array(sorted(want), dtype=np.uint64)
+    got = sk.count_hashes(hash_keys(probe, cfg))
+    assert got.tolist() == [want[int(k)] for k in probe]
