@@ -259,9 +259,13 @@ def grouped_streaming_sketches_tws(
 
     Same monoid, same amortized cost model, same output contract as the
     applyInPandasWithState twin (one (group, sketch, nelts, ndistinct)
-    row per touched group per micro-batch); a unit test pins the two
-    operators' results equal.  Requires the RocksDB state store provider
-    (bundled with Spark 4):
+    row per touched group per micro-batch); a parity unit test asserts
+    the two operators' results equal.  **EXPERIMENTAL**: that parity
+    test auto-skips in this sandbox (no protobuf — see the ENVIRONMENT
+    NOTE below), so this path has not yet executed anywhere the suite
+    has run; treat it as unverified until the parity test has passed
+    once on a protobuf-provisioned cluster.  Requires the RocksDB state
+    store provider (bundled with Spark 4):
 
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",
