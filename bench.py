@@ -313,6 +313,30 @@ def main() -> None:
         "note": "keygen+hash inside the timed window (uniform_online)",
     }
 
+    # -- point-mutation splice (insert1/_remove, gqf.c:1183-1553): per-op
+    # wall of the in-place O(cluster) splice on a 90%-full q=16 filter.
+    # Flat in N (the old rebuild path was O(N) per point op).
+    pm_q = 16
+    pm_cfg = CqfConfig(key_bits=pm_q + 8, hash_mode=HashMode.DEFAULT, seed=6)
+    pm_rng = np.random.default_rng(0xFACE)
+    pm = Cqf.from_hashes(
+        pm_cfg,
+        hash_keys(
+            pm_rng.integers(0, 2**63, int(0.90 * (1 << pm_q))).astype(np.uint64),
+            pm_cfg,
+        ),
+        qbits=pm_q,
+    )
+    pm_probe = pm_rng.integers(0, 2**63, 2000).astype(np.uint64)
+    t0 = time.time()
+    for k in pm_probe:
+        pm.insert1(int(k))
+    pm_dt = (time.time() - t0) / pm_probe.size
+    point_mutation = {
+        "us_per_op": round(pm_dt * 1e6, 1),
+        "ops_per_s": round(1 / pm_dt, 0),
+    }
+
     out = {
         "metric": "cqf end-to-end headline queries (build+merge+probe), total wall sec",
         "value": round(sum(timings.values()), 3),
@@ -332,6 +356,7 @@ def main() -> None:
         "fp_ok": bool(fp_rate <= fp_bound),
         "insert_sweep_q22_bulk": sweep,
         "insert_online_q22": online,
+        "point_mutation_splice_q16": point_mutation,
         "merge_sweep": {"q": mq, **merge_sweep},
         "total_wall_s": round(time.time() - t_all, 3),
     }

@@ -503,6 +503,308 @@ class Cqf:
             _counts=cu.astype(np.uint64),
         )
 
+    # ------------------------------------------------------------------ #
+    # in-place single-key splice (insert1/_remove, src/gqf.c:1183-1553)
+    #
+    # The reference updates one counter by shifting the slots of the
+    # affected cluster; everything outside the cluster is untouched.  The
+    # splice below reproduces that cost model on the canonical layout:
+    # re-encode ONE run, then re-place only the runs whose position the
+    # length change disturbs (the cluster), stopping at the first run
+    # whose placement is unchanged.  The result is byte-identical to a
+    # full canonical rebuild (pinned by tests/test_round4.py), so
+    # serialization stays merge-order-invariant.  Cost: O(cluster slots
+    # + log #runs); a run-count change additionally pays one flat
+    # memcpy of the run-index arrays (np.insert/np.delete) — the
+    # reference's bitvector variant avoids that memcpy, but it is a
+    # straight-line copy, not a re-encode, and is ~100x cheaper than the
+    # O(N log N) rebuild these entry points previously performed.
+    # ------------------------------------------------------------------ #
+
+    _SPLICE_CHUNK = 4096
+
+    def _splice(self, h: int, delta: int | None, set_to: int | None = None) -> int:
+        """Apply a count change for one full hash IN PLACE.
+
+        ``delta`` adds (clamped at zero, src/gqf.c:1996); ``set_to``
+        overrides with an absolute count (qf_set_count semantics).
+        Returns the applied count change.  Raises NoSpaceError (before
+        any mutation) if the splice would break the 95% load rule, the
+        runway, or the displacement cutoff — same gates as _rebuild.
+        """
+        geom = self.geom
+        bps = geom.bits_per_slot
+        h = int(h)
+        q = h >> bps
+        r = np.uint64(h & ((1 << bps) - 1))
+        if q >= geom.nslots:
+            raise ValueError("hash outside universe for this geometry")
+
+        occ_old = self.occ_pos
+        re_old = self.runend_pos
+        j = int(np.searchsorted(occ_old, q))
+        exists = j < occ_old.size and int(occ_old[j]) == q
+
+        # ---- decode the one affected run, apply the count change ----- #
+        if exists:
+            rs = int(occ_old[j]) if j == 0 else max(
+                int(occ_old[j]), int(re_old[j - 1]) + 1
+            )
+            re = int(re_old[j])
+            # decode only the run's slice — never copy the whole array
+            _, rems, cnts, _ = decode_runs(
+                self.slots[rs : re + 1].astype(np.uint64),
+                np.array([0], dtype=np.int64),
+                np.array([re - rs], dtype=np.int64),
+                bps,
+            )
+            old_len = re - rs + 1
+            i = int(np.searchsorted(rems, r))
+            hit = i < rems.size and rems[i] == r
+            old_cnt = int(cnts[i]) if hit else 0
+        else:
+            old_len, old_cnt, hit, i = 0, 0, False, 0
+            rems = np.empty(0, dtype=np.uint64)
+            cnts = np.empty(0, dtype=np.uint64)
+
+        new_cnt = set_to if set_to is not None else old_cnt + delta
+        new_cnt = max(int(new_cnt), 0)
+        if new_cnt == old_cnt:
+            return 0
+        if hit and new_cnt:
+            cnts = cnts.copy()
+            cnts[i] = np.uint64(new_cnt)
+        elif hit:
+            rems = np.concatenate([rems[:i], rems[i + 1 :]])
+            cnts = np.concatenate([cnts[:i], cnts[i + 1 :]])
+        else:
+            one = np.array([r], dtype=np.uint64)
+            rems = np.concatenate([rems[:i], one, rems[i:]])
+            cnts = np.concatenate(
+                [cnts[:i], np.array([new_cnt], dtype=np.uint64), cnts[i:]]
+            )
+
+        if rems.size:
+            flat, lens = encode_counters(rems, cnts, bps)
+            new_len = int(lens.sum())
+        else:
+            flat = np.empty(0, dtype=np.uint64)
+            new_len = 0
+        d_len = new_len - old_len
+        d_dist = (0 if hit else 1) - (1 if (hit and new_cnt == 0) else 0)
+
+        if self.noccupied + d_len > int(LOAD_FACTOR * geom.nslots):
+            raise NoSpaceError(
+                f"{self.noccupied + d_len} occupied slots > 95% of {geom.nslots}"
+            )
+
+        # ---- fast path: run length unchanged, rewrite in place ------- #
+        if exists and new_len == old_len and new_len > 0:
+            self.slots[rs : re + 1] = flat.astype(self.slots.dtype)
+            self.nelts += new_cnt - old_cnt
+            self.ndistinct += d_dist
+            self._decoded = None
+            return new_cnt - old_cnt
+
+        # ---- new run-index arrays (edited run at new index j) -------- #
+        if exists and new_len == 0:
+            case = -1  # run removed
+            occ_new = np.concatenate([occ_old[:j], occ_old[j + 1 :]])
+            re_new = np.concatenate([re_old[:j], re_old[j + 1 :]])
+        elif not exists:
+            case = 1  # run inserted
+            qv = np.array([q], dtype=occ_old.dtype)
+            occ_new = np.concatenate([occ_old[:j], qv, occ_old[j:]])
+            re_new = np.concatenate([re_old[:j], qv, re_old[j:]])  # placeholder
+        else:
+            case = 0  # run resized
+            occ_new = occ_old
+            re_new = re_old  # region slice reassigned below
+        n_runs = occ_new.size
+
+        # ---- re-place runs from j until placement stabilizes --------- #
+        # ends_t = A_t + max(p, max_{k<=t}(q_k - S_k - 1)) with A=cumsum
+        # of lengths, S=A-L, seeded by the previous run's end p — the
+        # _rebuild placement scan, windowed.
+        p = int(re_new[j - 1]) if j > 0 else -1
+        reg_ends: list[np.ndarray] = []
+        reg_lens: list[np.ndarray] = []
+        stop = n_runs
+        t0 = j
+        chunk = 8  # most splices stabilize within a few runs; grow 8x
+        while t0 < n_runs:
+            t1 = min(t0 + chunk, n_runs)
+            chunk = min(chunk * 8, self._SPLICE_CHUNK)
+            t = np.arange(t0, t1, dtype=np.int64)
+            o = t + (1 if case == -1 else (-1 if case == 1 else 0))
+            qs = occ_new[t0:t1].astype(np.int64)
+            # old lengths from the OLD arrays (valid except at t == j
+            # when the edited run is new)
+            if occ_old.size:
+                osafe = np.clip(o, 0, occ_old.size - 1)
+                o_prev = np.where(
+                    o > 0, re_old[np.maximum(osafe - 1, 0)], -1
+                )
+                o_starts = np.maximum(occ_old[osafe], o_prev + 1)
+                L = re_old[osafe] - o_starts + 1
+                old_ends = re_old[osafe]
+            else:
+                L = np.zeros(t.size, dtype=np.int64)
+                old_ends = np.full(t.size, -1, dtype=np.int64)
+            if case != -1 and t0 == j:
+                L[0] = new_len
+            csum = np.cumsum(L)
+            S = csum - L
+            m = np.maximum.accumulate(qs - S - 1)
+            ends = csum + np.maximum(m, p)
+            # stabilized: an un-edited run whose new end equals its old end
+            ok_t = (ends == old_ends) & (o >= 0) & (o < occ_old.size)
+            if case != -1 and t0 == j:
+                ok_t[0] = False
+            hits = np.flatnonzero(ok_t)
+            if hits.size:
+                cut = int(hits[0])
+                reg_ends.append(ends[:cut])
+                reg_lens.append(L[:cut])
+                stop = t0 + cut
+                break
+            reg_ends.append(ends)
+            reg_lens.append(L)
+            if t.size:
+                p = int(ends[-1])
+            t0 = t1
+
+        new_ends = (
+            np.concatenate(reg_ends) if reg_ends else np.empty(0, dtype=np.int64)
+        )
+        new_lens = (
+            np.concatenate(reg_lens) if reg_lens else np.empty(0, dtype=np.int64)
+        )
+        new_starts = new_ends - new_lens + 1
+        reg_q = occ_new[j:stop].astype(np.int64)
+
+        # ---- validate BEFORE mutating -------------------------------- #
+        if new_ends.size:
+            if int(new_ends[-1]) >= geom.total_slots:
+                raise NoSpaceError("run placement overflows the xnslots runway")
+            disp = int((new_starts - reg_q).max())
+            if disp > DISTANCE_FROM_HOME_SLOT_CUTOFF:
+                raise NoSpaceError(
+                    "home-slot displacement exceeds cutoff (src/gqf.c:45)"
+                )
+            if disp > self.max_displacement >= 0:
+                self.max_displacement = disp
+
+        # ---- move the affected slots --------------------------------- #
+        # old spans of the surviving region runs (old indices of new
+        # region runs j..stop, minus the edited run) + the edited run's
+        # own old span define the window to clear.
+        o_reg = np.arange(j, stop, dtype=np.int64)
+        o_reg = o_reg + (1 if case == -1 else (-1 if case == 1 else 0))
+        keep = (o_reg >= 0) & (o_reg < occ_old.size)
+        if case != -1:
+            keep[0] = False  # edited run re-encoded, not moved
+            surv = o_reg[1:][keep[1:]] if o_reg.size else o_reg
+        else:
+            surv = o_reg[keep]
+        if surv.size:
+            sp = np.where(surv > 0, re_old[np.maximum(surv - 1, 0)] + 1, 0)
+            old_starts_s = np.maximum(occ_old[surv], sp)
+            old_lens_s = re_old[surv] - old_starts_s + 1
+            intra = np.arange(int(old_lens_s.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(old_lens_s) - old_lens_s, old_lens_s
+            )
+            vals = self.slots[np.repeat(old_starts_s, old_lens_s) + intra]
+        else:
+            old_starts_s = np.empty(0, dtype=np.int64)
+            old_lens_s = np.empty(0, dtype=np.int64)
+            intra = np.empty(0, dtype=np.int64)
+            vals = np.empty(0, dtype=self.slots.dtype)
+
+        # zero window: spans actually occupied by region runs (old or
+        # new).  NOT seeded with q — a pushed-right insert's home slot
+        # can sit inside the PREVIOUS run's span, which must survive.
+        w_lo = geom.total_slots
+        w_hi = -1
+        if exists:
+            w_lo = min(w_lo, rs)
+            w_hi = max(w_hi, re)
+        if surv.size:
+            w_lo = min(w_lo, int(old_starts_s[0]))
+            w_hi = max(w_hi, int(re_old[surv[-1]]))
+        if new_ends.size:
+            w_lo = min(w_lo, int(new_starts[0]))
+            w_hi = max(w_hi, int(new_ends[-1]))
+        if w_hi >= w_lo:
+            self.slots[w_lo : w_hi + 1] = 0
+        if surv.size:
+            sidx = 1 if case != -1 else 0
+            new_surv_starts = new_starts[sidx:][keep[sidx:]] if case != -1 else new_starts[keep]
+            self.slots[np.repeat(new_surv_starts, old_lens_s) + intra] = vals
+        if case != -1 and new_len:
+            es = int(new_starts[0])
+            self.slots[es : es + new_len] = flat.astype(self.slots.dtype)
+
+        # ---- commit index arrays, offsets, stats --------------------- #
+        if case == 0:
+            self.runend_pos[j:stop] = new_ends
+        else:
+            re_new[j:stop] = new_ends
+            self.occ_pos = occ_new
+            self.runend_pos = re_new
+
+        # offsets: recompute boundaries whose governing run is in the
+        # touched window (offset[b] = clamp(run_end(64b-1)-(64b-1),0,255))
+        if w_hi >= 0:
+            b_lo = max((min(q, w_lo) + 64) // 64, 1)
+            b_hi = min((w_hi + 1) // 64, geom.nblocks - 1)
+            if b_hi >= b_lo:
+                pos = np.arange(b_lo, b_hi + 1, dtype=np.int64) * 64 - 1
+                jj = np.searchsorted(self.occ_pos, pos, side="right") - 1
+                spill = np.zeros(pos.size, dtype=np.int64)
+                vj = jj >= 0
+                spill[vj] = np.maximum(
+                    self.runend_pos[jj[vj]] - pos[vj], 0
+                )
+                self.offsets[b_lo : b_hi + 1] = np.minimum(spill, 255).astype(
+                    np.uint8
+                )
+
+        self.nelts += new_cnt - old_cnt
+        self.ndistinct += d_dist
+        self.noccupied += d_len
+        self._decoded = None
+        return new_cnt - old_cnt
+
+    def insert1(self, key: int, count: int = 1, value: int = 0) -> "Cqf":
+        """In-place single-key insert — the reference's incremental
+        ``insert1``/``insert`` cost model (src/gqf.c:1183-1553): one
+        point update touches O(cluster) slots, not the whole filter.
+        MUTATES this sketch (unlike the batch API, which returns new
+        sketches) and returns self for chaining.  Raises NoSpaceError
+        when the 95% rule would break — call :meth:`resized` and retry
+        to mirror qf_insert's auto-resize."""
+        h = int(
+            self._probe_hashes(
+                np.array([key], dtype=np.uint64),
+                np.array([value], dtype=np.uint64),
+            )[0]
+        )
+        self._splice(h, int(count))
+        return self
+
+    def remove1(self, key: int, count: int = 1, value: int = 0) -> "Cqf":
+        """In-place single-key remove, clamped at zero (_remove,
+        src/gqf.c:1982-1998).  MUTATES this sketch; returns self."""
+        h = int(
+            self._probe_hashes(
+                np.array([key], dtype=np.uint64),
+                np.array([value], dtype=np.uint64),
+            )[0]
+        )
+        self._splice(h, -int(count))
+        return self
+
     def insert(
         self,
         keys: np.ndarray,
@@ -534,16 +836,14 @@ class Cqf:
         return self._apply_delta(h, -c)
 
     def set_count(self, key: int, count: int, value: int = 0) -> "Cqf":
-        """qf_set_count (src/gqf.c:1962-1980)."""
-        cur = int(
-            self.count(
-                np.array([key], dtype=np.uint64), np.array([value], dtype=np.uint64)
-            )[0]
-        )
+        """qf_set_count (src/gqf.c:1962-1980): splice on a physical copy —
+        O(copy + cluster), not the O(N log N) rebuild it used to be."""
         h = self._probe_hashes(
             np.array([key], dtype=np.uint64), np.array([value], dtype=np.uint64)
         )
-        return self._apply_delta(h, np.array([count - cur], dtype=np.int64))
+        new = self.copy()
+        new._splice(int(h[0]), None, set_to=int(count))
+        return new
 
     def delete_key_value(self, key: int, value: int = 0) -> "Cqf":
         """qf_delete_key_value (src/gqf.c:2000-2016)."""
@@ -560,14 +860,22 @@ class Cqf:
         return Cqf(self.config, self.geom.qbits)
 
     def copy(self) -> "Cqf":
-        """qf_copy (src/gqf.c:1790-1799)."""
-        d = self._decode()
-        return Cqf(
-            self.config,
-            self.geom.qbits,
-            _hashes=d.hashes.copy(),
-            _counts=d.counts.copy(),
-        )
+        """qf_copy (src/gqf.c:1790-1799): physical memcpy of the layout —
+        O(slots) flat copies, no decode/re-encode.  Isolation is total
+        (every array is reallocated)."""
+        new = Cqf.__new__(Cqf)
+        new.config = self.config
+        new.geom = self.geom
+        new.slots = self.slots.copy()
+        new.occ_pos = self.occ_pos.copy()
+        new.runend_pos = self.runend_pos.copy()
+        new.offsets = self.offsets.copy()
+        new.nelts = self.nelts
+        new.ndistinct = self.ndistinct
+        new.noccupied = self.noccupied
+        new.max_displacement = self.max_displacement
+        new._decoded = None
+        return new
 
     # ------------------------------------------------------------------ #
     # merge / set algebra (src/gqf.c:2432-2619)

@@ -225,3 +225,117 @@ def test_keys_from_file_feeds_the_sketch_builder(spark, tmp_path):
     probe = np.array(sorted(want), dtype=np.uint64)
     got = sk.count_hashes(hash_keys(probe, cfg))
     assert got.tolist() == [want[int(k)] for k in probe]
+
+
+# --------------------------------------------------------------------- #
+# in-place splice (insert1/remove1/set_count): byte parity with the
+# canonical rebuild after EVERY mutation
+# --------------------------------------------------------------------- #
+
+def _rebuilt_bytes(sk):
+    """Serialize a full canonical rebuild of sk's decoded content."""
+    from cqf_spark.core import Cqf
+
+    d = sk._decode()
+    ref = Cqf(
+        sk.config,
+        sk.geom.qbits,
+        _hashes=d.hashes.copy(),
+        _counts=d.counts.copy(),
+    )
+    return ref.to_bytes()
+
+
+@pytest.mark.parametrize("value_bits,seed", [(0, 1), (0, 2), (3, 3)])
+def test_splice_storm_matches_canonical_rebuild(value_bits, seed):
+    from cqf_spark.config import CqfConfig, HashMode
+    from cqf_spark.core import Cqf
+
+    cfg = CqfConfig(
+        key_bits=18, value_bits=value_bits, hash_mode=HashMode.DEFAULT, seed=9
+    )
+    rng = np.random.default_rng(seed)
+    sk = Cqf.empty(cfg, 9)  # 512 slots
+    nvals = 1 << value_bits if value_bits else 1
+    for step in range(400):
+        key = int(rng.integers(0, 120))  # small universe: repeats, big counters
+        value = int(rng.integers(0, nvals))
+        op = int(rng.integers(0, 10))
+        try:
+            if op < 5:
+                sk.insert1(key, count=int(rng.integers(1, 40)), value=value)
+            elif op < 8:
+                sk.remove1(key, count=int(rng.integers(1, 40)), value=value)
+            elif op < 9:
+                sk = sk.set_count(key, int(rng.integers(0, 300)), value=value)
+            else:
+                sk = sk.delete_key_value(key, value=value)
+        except RuntimeError:  # NoSpaceError: capacity reached, keep going
+            continue
+        assert sk.to_bytes() == _rebuilt_bytes(sk), f"step {step} diverged"
+    assert sk.nelts > 0  # the storm actually built something
+
+
+def test_splice_dense_fill_then_drain_matches_rebuild():
+    """Packed clusters: fill to ~90% with distinct keys one at a time,
+    then drain; parity checked throughout, plus metadata equality."""
+    from cqf_spark.config import CqfConfig, HashMode
+    from cqf_spark.core import Cqf, NoSpaceError
+
+    cfg = CqfConfig(key_bits=18, hash_mode=HashMode.DEFAULT, seed=4)
+    sk = Cqf.empty(cfg, 9)
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**17, 460).astype(np.uint64)
+    inserted = []
+    for k in keys:
+        try:
+            sk.insert1(int(k))
+        except NoSpaceError:
+            break
+        inserted.append(int(k))
+    assert len(inserted) > 300
+    assert sk.to_bytes() == _rebuilt_bytes(sk)
+    ref = Cqf.from_keys(cfg, np.array(inserted, dtype=np.uint64), qbits=9)
+    assert sk.to_bytes() == ref.to_bytes()  # same as the batch build
+    rng.shuffle(inserted)
+    for i, k in enumerate(inserted):
+        sk.remove1(int(k))
+        if i % 37 == 0:
+            assert sk.to_bytes() == _rebuilt_bytes(sk)
+    assert sk.nelts == 0 and sk.ndistinct == 0 and sk.noccupied == 0
+    assert sk.to_bytes() == Cqf.empty(cfg, 9).to_bytes()
+
+
+def test_splice_no_space_leaves_sketch_untouched():
+    from cqf_spark.config import CqfConfig, HashMode
+    from cqf_spark.core import Cqf, NoSpaceError
+
+    cfg = CqfConfig(key_bits=18, hash_mode=HashMode.DEFAULT, seed=4)
+    keys = np.random.default_rng(3).integers(0, 2**17, 10_000).astype(np.uint64)
+    # fill to the 95% gate one splice at a time, then assert overflow is
+    # detected BEFORE mutation
+    sk = Cqf.empty(cfg, 9)
+    i = 0
+    with pytest.raises(NoSpaceError):
+        while True:
+            sk.insert1(int(keys[i]))
+            i += 1
+    before = sk.to_bytes()
+    with pytest.raises(NoSpaceError):
+        sk.insert1(int(keys[i]))
+    assert sk.to_bytes() == before  # failed splice mutated nothing
+
+
+def test_insert1_probe_interop_and_copy_isolation():
+    from cqf_spark.config import CqfConfig, HashMode
+    from cqf_spark.core import Cqf
+
+    cfg = CqfConfig(key_bits=20, hash_mode=HashMode.INVERTIBLE, seed=5)
+    sk = Cqf.empty(cfg, 8)
+    sk.insert1(17, count=3).insert1(42).insert1(17, count=2)
+    assert int(sk.count(np.array([17], dtype=np.uint64))[0]) == 5
+    assert int(sk.count_navigate(np.array([42], dtype=np.uint64))[0]) == 1
+    other = sk.copy()
+    other.insert1(99)
+    assert int(sk.count(np.array([99], dtype=np.uint64))[0]) == 0
+    assert sorted(sk.keys().tolist()) == [17, 42]
