@@ -99,6 +99,32 @@ def synth_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGES_COLUMNS = {"url", "warc_ts", "html", "text", "lang"}
+
+
+def load_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Load the web-pages table from an Iceberg/HMS catalog table name
+    (``catalog.db.pages``) or a parquet path/directory.
+
+    Everything downstream is catalog-agnostic DataFrame code; what an
+    Iceberg source adds at 10^12-document scale is free hidden-partition
+    pruning (e.g. ``days(warc_ts)``) and snapshot-isolated incremental
+    reads — both arrive through this same ``spark.read.table`` plan with
+    no downstream change.  Validates the input_hint schema so a
+    mis-pointed table fails here, not deep inside an extraction stage.
+    """
+    if "/" in source or source.endswith(".parquet"):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    missing = _PAGES_COLUMNS - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"pages source {source!r} lacks required columns {sorted(missing)}"
+        )
+    return df
+
+
 # --------------------------------------------------------------------- #
 # extraction: html binary -> text, vectorized and deterministic
 # --------------------------------------------------------------------- #

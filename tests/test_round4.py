@@ -339,3 +339,58 @@ def test_insert1_probe_interop_and_copy_isolation():
     other.insert1(99)
     assert int(sk.count(np.array([99], dtype=np.uint64))[0]) == 0
     assert sorted(sk.keys().tolist()) == [17, 42]
+
+
+# --------------------------------------------------------------------- #
+# load_pages: catalog-table-or-path source resolution + schema gate
+# --------------------------------------------------------------------- #
+
+def test_load_pages_from_path_and_table(spark, sf_dir, tmp_path):
+    from cqf_spark.webtext import load_pages, synth_webtext
+
+    pages = synth_webtext(spark, sf_dir)
+    p = str(tmp_path / "pages.parquet")
+    pages.write.parquet(p)
+    via_path = load_pages(spark, p)
+    assert set(via_path.columns) >= {"url", "warc_ts", "html", "text", "lang"}
+    via_path.createOrReplaceTempView("pages_tbl")
+    via_table = load_pages(spark, "pages_tbl")
+    assert via_table.count() == via_path.count()
+    bad = str(tmp_path / "bad.parquet")
+    pages.select("url", "text").write.parquet(bad)
+    with pytest.raises(ValueError, match="lacks required columns"):
+        load_pages(spark, bad)
+
+
+# --------------------------------------------------------------------- #
+# --py-files packaging: reproducible archive, importable from the zip
+# --------------------------------------------------------------------- #
+
+def test_package_archive_reproducible_and_importable(tmp_path):
+    import subprocess
+    import sys
+
+    from cqf_spark.package import build_archive
+
+    a = build_archive(str(tmp_path / "a.zip"))
+    b = build_archive(str(tmp_path / "b.zip"))
+    assert open(a, "rb").read() == open(b, "rb").read()  # deterministic
+    # import the package from the zip alone (fresh interpreter, repo
+    # not on the path), as an executor receiving --py-files would
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from cqf_spark.config import CqfConfig; "
+        "from cqf_spark.core import Cqf; import numpy as np; "
+        "sk = Cqf.from_keys(CqfConfig(key_bits=20, seed=1), "
+        "np.arange(100, dtype=np.uint64)); "
+        "assert int(sk.count(np.array([7], np.uint64))[0]) == 1; "
+        "print('zip-import ok')" % a
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp"},
+    )
+    assert out.returncode == 0 and "zip-import ok" in out.stdout, out.stderr
