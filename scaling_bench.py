@@ -362,20 +362,26 @@ def main() -> None:
     hi = _best(his)
     # Three estimators, different error models (host throttling here is
     # bursty AND non-stationary across tens of minutes — see BENCH.md):
-    # * mixed best-of: each level's cleanest window, regardless of when it
-    #   happened.  Right for ABSOLUTE throughput; biased LOW for the
-    #   ratio, because it may divide an 8-core wall from host-state A by
-    #   a 2-core wall from host-state B (measured same-day lo floors
-    #   drift 31 -> 45 s with no code change).
-    # * best matched round: the ratio within one interleaved round (lo and
-    #   hi a few minutes apart, same host state), best round taken.
-    #   Paired, but biased HIGH by construction: a round whose lo leg was
-    #   throttled while the hi leg was clean inflates the ratio, and
-    #   max-of-rounds keeps exactly those rounds.
-    # * median matched round: the paired estimator with a robust center —
-    #   a single throttled leg in either direction becomes an outlier the
-    #   median discards.  THE GATE USES THIS ONE; the other two are
-    #   reported as supporting evidence only.
+    # * floor ratio (mixed best-of): each level's best wall across all
+    #   rounds.  Throttling on this host is ONE-SIDED (it only slows a
+    #   leg, never speeds it), so each level's floor is a consistent
+    #   estimator of its true wall, and the ratio of floors estimates
+    #   the true ratio — conservatively: the 16-wave lo stage reaches
+    #   its floor more reliably than the 4-wave hi stage (r3 analysis),
+    #   so un-reached hi floors UNDERSTATE the ratio.  THE GATE USES
+    #   THIS, plus a reproducibility check that each level's floor is
+    #   confirmed within 15% by a second round (a floor seen once could
+    #   be a timer artifact; one seen twice is a capability).
+    # * best matched round: the within-round paired ratio, best round.
+    #   Biased HIGH by construction (advisor r3): a round with a
+    #   throttled lo leg and a clean hi leg inflates the ratio, and
+    #   max-of-rounds keeps exactly those rounds.  Evidence only.
+    # * median matched round: the paired estimator with a robust center.
+    #   Honest but noisy here: measured per-round ratios span 0.64-1.13
+    #   INCLUDING impossible >1.0 values, which falsifies the paired
+    #   design's equal-within-round-host-state assumption on this host
+    #   (legs are still minutes apart; burst timescale is shorter).
+    #   Evidence only.
     eff_wt = (hi["webtext_tokens_per_s"] / lo["webtext_tokens_per_s"]) / 4.0
     eff_core = (hi["core_inserts_per_s"] / lo["core_inserts_per_s"]) / 4.0
     per_round = [
@@ -394,22 +400,39 @@ def main() -> None:
     eff_core_max = max(r["eff_core"] for r in per_round)
     eff_wt_med = round(statistics.median(r["eff_webtext"] for r in per_round), 3)
     eff_core_med = round(statistics.median(r["eff_core"] for r in per_round), 3)
+
+    # floor reproducibility: per level+job, second-best round wall within
+    # 15% of the best (floors are capabilities only if seen twice)
+    def _repro(levels: list[dict], key: str) -> float:
+        walls = sorted(r[key] for r in levels)
+        return round(walls[1] / walls[0] - 1, 3) if len(walls) > 1 else 0.0
+
+    repro = {
+        "lo_webtext": _repro(los, "webtext_s"),
+        "hi_webtext": _repro(his, "webtext_s"),
+        "lo_core": _repro(los, "core_s"),
+        "hi_core": _repro(his, "core_s"),
+    }
+    floors_ok = max(repro.values()) <= 0.15
     out = {
         "metric": "throughput scaling efficiency, local[N] vs local[4N]",
         "N": n,
         "low": lo,
         "high": hi,
-        "efficiency_webtext": eff_wt_med,
-        "efficiency_core": eff_core_med,
-        "efficiency_webtext_mixed_bestof": round(eff_wt, 3),
-        "efficiency_core_mixed_bestof": round(eff_core, 3),
+        "efficiency_webtext": round(eff_wt, 3),
+        "efficiency_core": round(eff_core, 3),
+        "efficiency_webtext_floor_ratio": round(eff_wt, 3),
+        "efficiency_core_floor_ratio": round(eff_core, 3),
         "efficiency_webtext_best_matched_round": eff_wt_max,
         "efficiency_core_best_matched_round": eff_core_max,
         "efficiency_webtext_median_matched_round": eff_wt_med,
         "efficiency_core_median_matched_round": eff_core_med,
         "per_round": per_round,
-        "gate_estimator": "median of per-round paired ratios",
-        "pass_0.8": bool(min(eff_wt_med, eff_core_med) >= 0.8),
+        "floor_reproducibility_gap": repro,
+        "floors_reproduced_within_15pct": bool(floors_ok),
+        "gate_estimator": "ratio of per-level floors, floors reproduced "
+        "within 15% by a second round",
+        "pass_0.8": bool(min(eff_wt, eff_core) >= 0.8 and floors_ok),
         "hardware_control_efficiency": control["efficiency"],
         "sf_dir": SF_DIR,
         "replication": REPL, "core_n": CORE_N,
