@@ -101,6 +101,7 @@ class Cqf:
     ) -> None:
         self.config = config
         self.geom: CqfGeometry = config.geometry(qbits)
+        self.auto_resize = False  # qf_set_auto_resize state (off, as qf_init)
         self._decoded: _Decoded | None = None
         h = _hashes if _hashes is not None else np.empty(0, dtype=np.uint64)
         c = _counts if _counts is not None else np.empty(0, dtype=np.uint64)
@@ -782,16 +783,31 @@ class Cqf:
         point update touches O(cluster) slots, not the whole filter.
         MUTATES this sketch (unlike the batch API, which returns new
         sketches) and returns self for chaining.  Raises NoSpaceError
-        when the 95% rule would break — call :meth:`resized` and retry
-        to mirror qf_insert's auto-resize."""
+        when the 95% rule would break, unless :meth:`set_auto_resize`
+        is on — then the filter doubles and retries, qf_insert's retry
+        loop (src/gqf.c:1902-1914)."""
         h = int(
             self._probe_hashes(
                 np.array([key], dtype=np.uint64),
                 np.array([value], dtype=np.uint64),
             )[0]
         )
-        self._splice(h, int(count))
+        self._splice_autoresize(h, int(count))
         return self
+
+    def _splice_autoresize(self, h: int, delta: int) -> int:
+        """_splice, growing the filter on NoSpaceError when the
+        qf_set_auto_resize flag is on (qf_insert, src/gqf.c:1902-1914)."""
+        while True:
+            try:
+                return self._splice(h, delta)
+            except NoSpaceError:
+                nq = self.geom.qbits + 1
+                if not getattr(self, "auto_resize", False) or (
+                    nq >= self.config.key_bits - 2
+                ):
+                    raise
+                self._adopt(self.resized(nq))
 
     def remove1(self, key: int, count: int = 1, value: int = 0) -> "Cqf":
         """In-place single-key remove, clamped at zero (_remove,
@@ -855,6 +871,30 @@ class Cqf:
         d = self._decode()
         return Cqf(self.config, new_qbits, _hashes=d.hashes, _counts=d.counts)
 
+    def set_auto_resize(self, enable: bool = True) -> "Cqf":
+        """qf_set_auto_resize (src/gqf.c:1703-1705): when enabled, the
+        in-place point mutators (:meth:`insert1` and friends) respond to a
+        full filter by doubling the slot count and retrying — qf_insert's
+        retry loop (src/gqf.c:1902-1914) — instead of raising
+        NoSpaceError.  Off by default, as after qf_init."""
+        self.auto_resize = bool(enable)
+        return self
+
+    def _adopt(self, other: "Cqf") -> None:
+        """Replace this sketch's physical layout with ``other``'s (same
+        config) — the in-place half of qf_resize: the struct survives,
+        the buffers are swapped."""
+        self.geom = other.geom
+        self.slots = other.slots
+        self.occ_pos = other.occ_pos
+        self.runend_pos = other.runend_pos
+        self.offsets = other.offsets
+        self.nelts = other.nelts
+        self.ndistinct = other.ndistinct
+        self.noccupied = other.noccupied
+        self.max_displacement = other.max_displacement
+        self._decoded = None
+
     def reset(self) -> "Cqf":
         """qf_reset (src/gqf.c:1801-1817)."""
         return Cqf(self.config, self.geom.qbits)
@@ -874,6 +914,7 @@ class Cqf:
         new.ndistinct = self.ndistinct
         new.noccupied = self.noccupied
         new.max_displacement = self.max_displacement
+        new.auto_resize = getattr(self, "auto_resize", False)
         new._decoded = None
         return new
 
@@ -996,6 +1037,11 @@ class Cqf:
     @property
     def load_factor(self) -> float:
         return self.noccupied / self.geom.nslots
+
+    @property
+    def is_auto_resize_enabled(self) -> bool:
+        """qf_is_auto_resize_enabled (src/gqf.c:2144)."""
+        return getattr(self, "auto_resize", False)
 
     @property
     def total_size_in_bytes(self) -> int:

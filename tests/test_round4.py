@@ -326,6 +326,36 @@ def test_splice_no_space_leaves_sketch_untouched():
     assert sk.to_bytes() == before  # failed splice mutated nothing
 
 
+def test_insert1_auto_resize_grows_and_stays_canonical():
+    """qf_set_auto_resize + qf_insert's retry loop (src/gqf.c:1703-1705,
+    1902-1914): with the flag on, a full filter doubles in place instead
+    of raising, content is preserved, and the grown layout is
+    byte-identical to a batch build at the new size."""
+    from cqf_spark.config import CqfConfig, HashMode
+    from cqf_spark.core import Cqf, NoSpaceError
+
+    cfg = CqfConfig(key_bits=18, hash_mode=HashMode.DEFAULT, seed=4)
+    keys = np.random.default_rng(3).integers(0, 2**17, 2000).astype(np.uint64)
+    # flag off (the qf_init default): overflow raises
+    sk = Cqf.empty(cfg, 9)
+    i = 0
+    with pytest.raises(NoSpaceError):
+        while True:
+            sk.insert1(int(keys[i]))
+            i += 1
+    # same prefix with the flag on: grows, never raises
+    grown = Cqf.empty(cfg, 9).set_auto_resize()
+    n = i + 200
+    for k in keys[:n]:
+        grown.insert1(int(k))
+    assert grown.geom.qbits > 9  # it actually resized
+    ref = Cqf.from_keys(cfg, keys[:n], qbits=grown.geom.qbits)
+    assert grown.to_bytes() == ref.to_bytes()
+    # the flag survives qf_copy
+    assert grown.copy().auto_resize is True
+    assert Cqf.empty(cfg, 9).auto_resize is False
+
+
 def test_insert1_probe_interop_and_copy_isolation():
     from cqf_spark.config import CqfConfig, HashMode
     from cqf_spark.core import Cqf
