@@ -80,6 +80,36 @@ def q_multiplicity_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_roundtrip_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_initfile / qf_usefile / qf_resize_file as a driver gate
+    (src/gqf_file.c:88-168, 170-228, 264-349): the multiplicity probe is
+    answered by a sketch that has been persisted to the C library's mmap
+    image format, resized ON DISK (the atomic temp+rename rotation), and
+    reloaded — so the on-disk image, not the in-memory object, is what
+    the query reads.  Counts are invariant under resize (hash space
+    unchanged), so the oracle is the plain GROUP BY."""
+    import os
+    import tempfile
+
+    from .core import Cqf
+
+    li = load(spark, sf_dir, "lineitem")
+    sketch = cqf_aggregate(li, "l_partkey", INT_CONFIG)
+    fd, path = tempfile.mkstemp(suffix=".cqf")
+    os.close(fd)
+    try:
+        sketch.to_reference_file(path)  # qf_serialize / qf_initfile image
+        Cqf.resize_file(path, sketch.geom.qbits + 1)  # on-disk rotation
+        reloaded = Cqf.from_reference_file(path)  # qf_usefile
+    finally:
+        os.unlink(path)
+    assert reloaded.geom.qbits == sketch.geom.qbits + 1
+    probes = li.select("l_partkey").distinct()
+    return probes.select(
+        "l_partkey", count_udf(spark, reloaded)("l_partkey").alias("approx_count")
+    )
+
+
 def q_membership_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate membership (count>0) as a semi-join replacement."""
     orders = load(spark, sf_dir, "orders")
@@ -474,6 +504,7 @@ def q_streaming_grouped_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_multiplicity_partkey": q_multiplicity_partkey,
+    "cqf_file_roundtrip_multiplicity": q_file_roundtrip_multiplicity,
     "cqf_membership_custkey": q_membership_custkey,
     "cqf_token_multiplicity": q_token_multiplicity,
     "cqf_heavy_hitters_tokens": q_heavy_hitters_tokens,
@@ -498,6 +529,9 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 SKETCH_ORACLES: dict[str, str] = {
     "cqf_multiplicity_partkey": (
+        "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem GROUP BY l_partkey"
+    ),
+    "cqf_file_roundtrip_multiplicity": (
         "SELECT l_partkey, COUNT(*) AS approx_count FROM lineitem GROUP BY l_partkey"
     ),
     "cqf_membership_custkey": (
