@@ -448,6 +448,57 @@ def q_streaming_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a STATEFUL STREAMING AGGREGATION: documents arrive
+    in 3 micro-batches and per content fingerprint the state keeps the
+    smallest doc_id seen so far plus the copy count — first-writer-wins
+    made deterministic (MIN commutes with arrival order), so the result
+    over the whole stream is exactly ``GROUP BY fingerprint`` and the
+    oracle is plain SQL.  At 100 TB the same plan runs in update mode
+    over a RocksDB state store keyed by fingerprint (state is one row
+    per DISTINCT page, not per page); the complete-mode memory sink here
+    is gate-only plumbing.  Duplicates are planted as in
+    ``q_dedup_exact`` (every 5th doc copied under id+1000000 — the
+    driver's documents are all unique), so groups really span
+    micro-batches and the state must coalesce them."""
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="cqf_sdedup_")
+    qname = f"cqf_sdedup_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{work}/src"
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        dups = docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        docs.unionByName(dups).repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+        # detach the result from the temp files / memory sink before cleanup
+        pdf = spark.table(qname).toPandas()
+        return spark.createDataFrame(pdf)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_streaming_grouped_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group stateful streaming via ``applyInPandasWithState``: one
     running doc-id sketch per language held in the engine's state store
@@ -525,6 +576,7 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_unique_index_partkey": q_unique_index_partkey,
     "cqf_streaming_token_counts": q_streaming_token_counts,
     "cqf_streaming_grouped_lang": q_streaming_grouped_lang,
+    "dedup_streaming_exact": q_streaming_exact_dedup,
 }
 
 SKETCH_ORACLES: dict[str, str] = {
@@ -609,6 +661,13 @@ SKETCH_ORACLES: dict[str, str] = {
     ),
     "cqf_streaming_token_counts": (
         "SELECT doc_id, CAST(1 AS BIGINT) AS approx_count FROM documents"
+    ),
+    "dedup_streaming_exact": (
+        "WITH corpus AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+        "FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, "
+        "COUNT(*) AS n_copies FROM corpus GROUP BY md5(text)"
     ),
     "cqf_sharded_set_algebra": (
         "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
