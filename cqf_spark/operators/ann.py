@@ -418,6 +418,12 @@ def ivf_topk(
     q = with_unit_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
     )
+    if broadcast_probe is None:
+        # the auto-probe below counts q and the join consumes it again;
+        # persist so a derived query frame's upstream lineage (joins,
+        # shuffles) executes once, not twice.  Bounded by the query set
+        # (id + unit vector per row), MEMORY_AND_DISK so it spills.
+        q = q.persist()
 
     if assign_via_udf:
         assigned, probe = _ivf_assign_udf(c, q, cent_rows, nprobe, id_col)

@@ -490,7 +490,14 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        try:
+            finished = q.awaitTermination(300)
+            if not finished:
+                raise TimeoutError(
+                    "streaming dedup did not drain its 3 micro-batches in 300s"
+                )
+        finally:
+            q.stop()  # never leave a query polling a dir the finally deletes
         assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
         # detach the result from the temp files / memory sink before cleanup
         pdf = spark.table(qname).toPandas()

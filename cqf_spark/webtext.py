@@ -113,7 +113,12 @@ def load_pages(spark: SparkSession, source: str) -> DataFrame:
     no downstream change.  Validates the input_hint schema so a
     mis-pointed table fails here, not deep inside an extraction stage.
     """
-    if "/" in source or source.endswith(".parquet"):
+    import os
+
+    # a path on local disk (including a bare relative directory name)
+    # beats the catalog: a table reference is dotted or at least not an
+    # existing filesystem entry
+    if "/" in source or source.endswith(".parquet") or os.path.exists(source):
         df = spark.read.parquet(source)
     else:
         df = spark.read.table(source)

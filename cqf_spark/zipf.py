@@ -68,6 +68,10 @@ def uniform_keys(
     seed) and independent of partitioning (murmur of the row id, not a
     stateful PRNG, so splitting the range across executors cannot
     reorder the stream)."""
+    if not 0 < maxvalue <= 2**63:
+        # keys ride a Spark ``long``; a larger modulus would wrap the
+        # top half of the range into negative values
+        raise ValueError(f"maxvalue must be in (0, 2**63], got {maxvalue}")
     mv = np.uint64(maxvalue)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,10 +93,21 @@ def keys_from_file(spark: SparkSession, path: str) -> DataFrame:
     ``spark.read.text`` keeps the file read distributed and splittable
     (a 1 TB key file scans in parallel instead of through one fscanf
     loop); blank lines are dropped, matching fscanf's whitespace
-    skipping."""
+    skipping.  Unlike fscanf — which silently STOPS at the first
+    non-numeric token, truncating the workload — a malformed non-blank
+    line raises, so a corrupt key file cannot silently shrink a
+    benchmark or gate."""
     from pyspark.sql import functions as F
 
     txt = spark.read.text(path)
-    return txt.select(
-        F.trim(F.col("value")).try_cast("long").alias("key")
-    ).where(F.col("key").isNotNull())
+    raw = F.trim(F.col("value"))
+    key = raw.try_cast("long")
+    # validate in-stream (no extra pass): a non-blank line that fails the
+    # cast aborts the job with the offending text in the error message
+    checked = F.when(
+        key.isNull() & (raw != F.lit("")),
+        F.raise_error(F.concat(F.lit("non-integer line in key file: "), raw)),
+    ).otherwise(key)
+    return (
+        txt.select(checked.alias("key")).where(F.col("key").isNotNull())
+    )

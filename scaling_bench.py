@@ -339,7 +339,9 @@ def _best(levels: list[dict]) -> dict:
     return best
 
 
-def summarize(n: int, los: list[dict], his: list[dict], control_eff: float) -> dict:
+def summarize(
+    n: int, los: list[dict], his: list[dict], control_eff: float | None
+) -> dict:
     """Gate summary from a campaign's counted rounds — pure summarization,
     shared by a live run and ``--reanalyze`` of a recorded campaign log."""
     lo = _best(los)
@@ -387,9 +389,11 @@ def summarize(n: int, los: list[dict], his: list[dict], control_eff: float) -> d
 
     # floor reproducibility: per level+job, second-best round wall within
     # 15% of the best (floors are capabilities only if seen twice)
-    def _repro(levels: list[dict], key: str) -> float:
+    def _repro(levels: list[dict], key: str) -> float | None:
         walls = sorted(r[key] for r in levels)
-        return round(walls[1] / walls[0] - 1, 3) if len(walls) > 1 else 0.0
+        # a floor seen once is NOT reproduced (None, serialized null):
+        # with a single counted round the check must fail, not pass
+        return round(walls[1] / walls[0] - 1, 3) if len(walls) > 1 else None
 
     repro = {
         "lo_webtext": _repro(los, "webtext_s"),
@@ -397,7 +401,7 @@ def summarize(n: int, los: list[dict], his: list[dict], control_eff: float) -> d
         "lo_core": _repro(los, "core_s"),
         "hi_core": _repro(his, "core_s"),
     }
-    floors_ok = max(repro.values()) <= 0.15
+    floors_ok = all(v is not None and v <= 0.15 for v in repro.values())
     out = {
         "metric": "throughput scaling efficiency, local[N] vs local[4N]",
         "N": n,
@@ -472,7 +476,7 @@ def reanalyze(log_path: str, n: int = 2) -> None:
     import re
 
     los, his = [], []
-    control_eff = float("nan")
+    control_eff = None  # serialized as JSON null if the log lacks the line
     with open(log_path) as f:
         for line in f:
             m = re.match(r"\[scaling\] hardware control: (\{.*\})", line.strip())

@@ -203,6 +203,48 @@ def test_keys_from_file_matches_fscanf_semantics(spark, tmp_path):
     assert got == [0, 7, 12, 9223372036854775806]
 
 
+def test_keys_from_file_rejects_malformed_lines(spark, tmp_path):
+    """A corrupt key file must fail loudly, not silently shrink the
+    workload (fscanf would silently stop at the bad token)."""
+    from cqf_spark.zipf import keys_from_file
+
+    p = tmp_path / "keys.txt"
+    p.write_text("12\nabc\n13\n")
+    with pytest.raises(Exception, match="non-integer line"):
+        keys_from_file(spark, str(p)).collect()
+
+
+def test_uniform_keys_rejects_wrapping_maxvalue(spark):
+    from cqf_spark.zipf import uniform_keys
+
+    with pytest.raises(ValueError, match="maxvalue"):
+        uniform_keys(spark, 10, maxvalue=2**64 - 1)
+
+
+def test_scaling_repro_fails_on_single_round():
+    """A floor seen once is not reproduced: with one counted round the
+    reproducibility check must fail, and a control-less reanalysis log
+    must serialize as null, not NaN."""
+    import json
+
+    import scaling_bench as sb
+
+    lvl = {
+        "webtext_tokens": 100, "webtext_s": 1.0, "webtext_tokens_per_s": 100.0,
+        "core_inserts": 100, "core_s": 1.0, "core_inserts_per_s": 100.0,
+        "cpu_steal_pct": 0.0, "trials": 3,
+    }
+    hi = dict(lvl, webtext_tokens_per_s=400.0, core_inserts_per_s=400.0)
+    out = sb.summarize(2, [lvl], [hi], None)
+    assert out["floors_reproduced_within_15pct"] is False
+    assert out["pass_0.8"] is False  # perfect ratio, but unconfirmed floors
+    json.loads(json.dumps(out))  # strict-JSON serializable (no NaN)
+    # two agreeing rounds flip it back on
+    out2 = sb.summarize(2, [lvl, dict(lvl)], [hi, dict(hi)], 1.0)
+    assert out2["floors_reproduced_within_15pct"] is True
+    assert out2["pass_0.8"] is True
+
+
 def test_keys_from_file_feeds_the_sketch_builder(spark, tmp_path):
     # app_file_read end-to-end: file-driven keys build a CQF whose counts
     # match the file's multiset
