@@ -170,6 +170,21 @@ def q_ndistinct_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(sketch.num_distinct,)], "n long")
 
 
+def q_sketch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.4/§2.6 whole-sketch scalars off ONE build:
+    qf_get_sum_of_counts (src/gqf.c:2173),
+    qf_get_num_distinct_key_value_pairs (src/gqf.c:2177), and
+    qf_magnitude (src/gqf.c:2616) — consolidating the r1-r4
+    ``cqf_sum_of_counts`` / ``cqf_ndistinct_partkey`` /
+    ``cqf_magnitude_partkey`` gate rows into one query (the driver's
+    correctness gate records at most 50 queries; see __spark_entry__)."""
+    sketch = cqf_aggregate(load(spark, sf_dir, "lineitem"), "l_partkey", INT_CONFIG)
+    return spark.createDataFrame(
+        [(sketch.sum_of_counts, sketch.num_distinct, sketch.magnitude())],
+        "n long, ndistinct long, magnitude long",
+    )
+
+
 # --------------------------------------------------------------------- #
 # SURVEY §2.6 set algebra
 # --------------------------------------------------------------------- #
@@ -382,6 +397,23 @@ def q_sharded_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters over the sharded representation — the
+    query the broadcast-sketch ``q_heavy_hitters_tokens`` cannot answer
+    once the sketch exceeds one process.  Per-shard decode -> per-shard
+    top-k -> global top-k, exact because shard hash ranges are disjoint
+    (qf_iterator order, src/gqf.c:2191-2348) and both levels use the same
+    total order (count DESC, key ASC).  INVERTIBLE hashes un-hash back to
+    the original partkeys (qfi_get_key, src/gqf.c:2327-2341)."""
+    from .sharded import ShardedCqf
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = ShardedCqf.aggregate(li, "l_partkey", INT_CONFIG, n_shards=16)
+    return sk.heavy_hitters_df(25).select(
+        F.col("key").alias("l_partkey"), F.col("count").alias("cnt")
+    )
+
+
 def q_unique_index_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qf_get_unique_index as a driver-gated contract check
     (src/gqf.c:2095-2132): every present key gets an index, the indexes
@@ -567,16 +599,15 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_token_multiplicity": q_token_multiplicity,
     "cqf_heavy_hitters_tokens": q_heavy_hitters_tokens,
     "cqf_kv_store_lang": q_kv_store_lang,
-    "cqf_sum_of_counts": q_sum_of_counts,
-    "cqf_ndistinct_partkey": q_ndistinct_partkey,
+    "cqf_sketch_metadata": q_sketch_metadata,
     "cqf_inner_product_events": q_inner_product_events,
-    "cqf_magnitude_partkey": q_magnitude_partkey,
     "cqf_intersect_users": q_intersect_users,
     "cqf_merge_union_counts": q_merge_union_counts,
     "cqf_distributed_delete": q_distributed_delete,
     "cqf_zipf_skew": q_zipf_skew,
     "cqf_sharded_multiplicity": q_sharded_multiplicity,
     "cqf_sharded_set_algebra": q_sharded_set_algebra,
+    "cqf_sharded_heavy_hitters": q_sharded_heavy_hitters,
     "cqf_grouped_sketch_stats": q_grouped_sketch_stats,
     "cqf_items_from_seek": q_items_from_seek,
     "cqf_point_mutations": q_point_mutations,
@@ -612,9 +643,17 @@ SKETCH_ORACLES: dict[str, str] = {
         "WHEN 'fr' THEN 2 WHEN 'es' THEN 3 WHEN 'zh' THEN 4 ELSE 5 END "
         "AS lang_code FROM documents"
     ),
-    "cqf_sum_of_counts": "SELECT COUNT(*) AS n FROM lineitem",
-    "cqf_ndistinct_partkey": (
-        "SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem"
+    "cqf_sketch_metadata": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndistinct, "
+        "(SELECT CAST(FLOOR(SQRT(SUM(c * c))) AS BIGINT) FROM "
+        "(SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)) "
+        "AS magnitude FROM lineitem"
+    ),
+    "cqf_sharded_heavy_hitters": (
+        "SELECT l_partkey, cnt FROM ("
+        "SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey"
+        ") ORDER BY cnt DESC, l_partkey ASC LIMIT 25"
     ),
     "cqf_inner_product_events": (
         "WITH a AS (SELECT user_id, COUNT(*) AS c FROM events "
@@ -623,10 +662,6 @@ SKETCH_ORACLES: dict[str, str] = {
         "WHERE event_type = 'view' GROUP BY user_id) "
         "SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS ip "
         "FROM a JOIN b USING (user_id)"
-    ),
-    "cqf_magnitude_partkey": (
-        "SELECT CAST(FLOOR(SQRT(SUM(c * c))) AS BIGINT) AS magnitude FROM ("
-        "SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)"
     ),
     "cqf_intersect_users": (
         "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
