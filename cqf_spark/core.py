@@ -795,12 +795,17 @@ class Cqf:
         self._splice_autoresize(h, int(count))
         return self
 
-    def _splice_autoresize(self, h: int, delta: int) -> int:
+    def _splice_autoresize(
+        self, h: int, delta: int | None, set_to: int | None = None
+    ) -> int:
         """_splice, growing the filter on NoSpaceError when the
-        qf_set_auto_resize flag is on (qf_insert, src/gqf.c:1902-1914)."""
+        qf_set_auto_resize flag is on (qf_insert, src/gqf.c:1902-1914).
+        ``set_to`` passes through to _splice — qf_set_count routes through
+        qf_insert in the reference (src/gqf.c:1962-1980), so it honors the
+        same retry loop."""
         while True:
             try:
-                return self._splice(h, delta)
+                return self._splice(h, delta, set_to=set_to)
             except NoSpaceError:
                 nq = self.geom.qbits + 1
                 if not getattr(self, "auto_resize", False) or (
@@ -853,12 +858,15 @@ class Cqf:
 
     def set_count(self, key: int, count: int, value: int = 0) -> "Cqf":
         """qf_set_count (src/gqf.c:1962-1980): splice on a physical copy —
-        O(copy + cluster), not the O(N log N) rebuild it used to be."""
+        O(copy + cluster), not the O(N log N) rebuild it used to be.
+        Routes through the auto-resize retry (the reference implements
+        set_count via qf_insert, which honors qf_set_auto_resize), so
+        with the flag on this grows instead of raising NoSpaceError."""
         h = self._probe_hashes(
             np.array([key], dtype=np.uint64), np.array([value], dtype=np.uint64)
         )
         new = self.copy()
-        new._splice(int(h[0]), None, set_to=int(count))
+        new._splice_autoresize(int(h[0]), None, set_to=int(count))
         return new
 
     def delete_key_value(self, key: int, value: int = 0) -> "Cqf":

@@ -1,14 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` cells with
 typed metadata, processed by Arrow-batched UDFs.
 
-The decode kernels (JPEG/PNG pixel decode, audio PCM decode, video frame
-demux) are STUBS — the imaging/audio libraries are not available in this
-environment — but everything Spark-side is real and tested: schemas,
-batch shapes, partitioning, metadata propagation, feature extraction over
-the raw bytes, and frame/window sampling logic.  Each stub is clearly
-marked and either raises ``NotImplementedError`` (strict mode) or
-produces a deterministic fake derived from the byte content (default), so
-pipelines are end-to-end runnable and oracle-checkable.
+PNG image decode is REAL (pure zlib+numpy codec, functions/png.py —
+all five scanline filters, golden-tested): image cells whose bytes carry
+the PNG signature are decoded to pixels, and their features
+(``feat_dim``, ``pixel_mean``) come from the actual pixel array.  The
+remaining kernels (JPEG decode, audio PCM decode, video frame demux) are
+STUBS — those libraries are not available in this environment — but
+everything Spark-side is real and tested: schemas, batch shapes,
+partitioning, metadata propagation, feature extraction over the raw
+bytes, and frame/window sampling logic.  Each stub is clearly marked and
+either raises ``NotImplementedError`` (strict mode; PNG no longer does)
+or produces a deterministic fake derived from the byte content
+(default), so pipelines are end-to-end runnable and oracle-checkable.
 
 Media table shape::
 
@@ -26,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.png import PNG_MAGIC, decode_png
 
 META_SCHEMA = (
     "meta struct<size_bytes: long, width: int, height: int, channels: int, "
@@ -70,14 +76,27 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
-# decode stubs (clearly marked)
+# decode kernels: PNG real, the rest stubs (clearly marked)
 # --------------------------------------------------------------------- #
 
+def decode_image(buf: bytes, width: int, height: int, strict: bool):
+    """Image decode.  PNG bytes decode for REAL (functions/png.py);
+    other formats (JPEG, ...) fall through to the declared stub."""
+    from ..functions.png import decode_png, is_png
+
+    if is_png(bytes(buf)):
+        return decode_png(bytes(buf))
+    return _decode_image_stub(buf, width, height, strict)
+
+
 def _decode_image_stub(buf: bytes, width: int, height: int, strict: bool):
-    """STUB: a real implementation would decode JPEG/PNG bytes to an
-    (h, w, 3) uint8 array (no imaging library in this container)."""
+    """STUB for non-PNG images: a real implementation would decode JPEG
+    bytes to an (h, w, 3) uint8 array (no JPEG library in this
+    container; PNG is handled for real by :func:`decode_image`)."""
     if strict:
-        raise NotImplementedError("image decode requires an imaging library")
+        raise NotImplementedError(
+            "non-PNG image decode requires an imaging library"
+        )
     # deterministic fake: tile the raw bytes into the declared shape
     need = width * height * 3
     raw = np.frombuffer(buf, dtype=np.uint8)
@@ -104,9 +123,13 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     combined (row, byte) bincount; per-row sums come from one cumsum.
     Media bytes are dropped batch-by-batch.
 
-    ``strict=True`` routes every row through the decode stubs (which then
-    raise ``NotImplementedError`` — no imaging libs in this container);
-    the default path computes the same dims the decodes would yield.
+    Image rows carrying real PNG bytes (signature-detected, vectorized)
+    are DECODED: their ``feat_dim`` is the true pixel-array size and
+    ``pixel_mean`` the true pixel mean (functions/png.py).  ``strict=True``
+    routes the remaining modalities through the declared decode stubs
+    (which raise ``NotImplementedError`` — no JPEG/audio libs in this
+    container); the default path computes the same dims the decodes
+    would yield.
     """
     import pyarrow as pa
 
@@ -158,12 +181,6 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             ent = np.where(lens > 0, np.round(ent, 4), 0.0)
 
             mtype = pdf["media_type"].to_numpy()
-            if strict:  # exercise the decode stubs (they raise here)
-                for i in range(n):
-                    if mtype[i] == "image":
-                        _decode_image_stub(b"", 0, 0, strict=True)
-                    elif mtype[i] == "audio":
-                        _decode_audio_stub(b"", strict=True)
             w = pdf["_w"].to_numpy(dtype=np.int64)
             h = pdf["_h"].to_numpy(dtype=np.int64)
             nf = pdf["_nf"].to_numpy(dtype=np.int64)
@@ -172,6 +189,32 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             feat_dim = np.where(
                 mtype == "image", w * h * 3, np.where(mtype == "audio", lens, nf)
             )
+            # vectorized PNG-signature scan over the flat buffer: an
+            # image row carrying real PNG bytes is decoded for REAL and
+            # its features come from the pixel array, not the metadata
+            pixel_mean = np.full(n, np.nan)
+            starts = offs[:-1] - offs[0]
+            png_row = (mtype == "image") & (lens >= 8)
+            if png_row.any():
+                cand = np.flatnonzero(png_row)
+                sig = raw[starts[cand, None] + np.arange(8)]
+                magic = np.frombuffer(PNG_MAGIC, dtype=np.uint8)
+                png_row[:] = False
+                png_row[cand[(sig == magic).all(axis=1)]] = True
+            for i in np.flatnonzero(png_row):
+                # per-IMAGE loop: PNG scanline unfiltering is inherently
+                # per-image work; the batch dimension parallelizes it
+                img = decode_png(
+                    raw[starts[i] : starts[i] + lens[i]].tobytes()
+                )
+                feat_dim[i] = img.size
+                pixel_mean[i] = round(float(img.mean()), 4)
+            if strict:  # non-PNG media still hit the declared stubs
+                for i in range(n):
+                    if mtype[i] == "image" and not png_row[i]:
+                        _decode_image_stub(b"", 0, 0, strict=True)
+                    elif mtype[i] == "audio":
+                        _decode_audio_stub(b"", strict=True)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -180,6 +223,7 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     "byte_mean": mean,
                     "byte_entropy": ent,
                     "feat_dim": feat_dim,
+                    "pixel_mean": pixel_mean,
                 }
             )
 
@@ -187,7 +231,8 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
         feats,
         schema=(
             "media_id long, media_type string, size_bytes long, "
-            "byte_mean double, byte_entropy double, feat_dim long"
+            "byte_mean double, byte_entropy double, feat_dim long, "
+            "pixel_mean double"
         ),
     )
 

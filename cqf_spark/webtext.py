@@ -102,7 +102,9 @@ def synth_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAGES_COLUMNS = {"url", "warc_ts", "html", "text", "lang"}
 
 
-def load_pages(spark: SparkSession, source: str) -> DataFrame:
+def load_pages(
+    spark: SparkSession, source: str, source_format: str | None = None
+) -> DataFrame:
     """Load the web-pages table from an Iceberg/HMS catalog table name
     (``catalog.db.pages``) or a parquet path/directory.
 
@@ -112,16 +114,31 @@ def load_pages(spark: SparkSession, source: str) -> DataFrame:
     reads — both arrive through this same ``spark.read.table`` plan with
     no downstream change.  Validates the input_hint schema so a
     mis-pointed table fails here, not deep inside an extraction stage.
-    """
-    import os
 
-    # a path on local disk (including a bare relative directory name)
-    # beats the catalog: a table reference is dotted or at least not an
-    # existing filesystem entry
-    if "/" in source or source.endswith(".parquet") or os.path.exists(source):
+    ``source_format`` disambiguates explicitly: ``"parquet"`` forces a
+    path read, ``"table"`` forces a catalog lookup.  When ``None``, the
+    SYNTAX of ``source`` decides — anything containing ``/`` or ending
+    in ``.parquet`` is a path, everything else is a table name.  The
+    resolver never probes the driver filesystem (ADVICE r4: an
+    ``os.path.exists`` probe let a cwd-relative file silently shadow a
+    catalog table, and was meaningless for remote paths anyway) — a bare
+    local directory is addressed as ``./name``.
+    """
+    if source_format is None:
+        source_format = (
+            "parquet"
+            if "/" in source or source.endswith(".parquet")
+            else "table"
+        )
+    if source_format == "parquet":
         df = spark.read.parquet(source)
-    else:
+    elif source_format == "table":
         df = spark.read.table(source)
+    else:
+        raise ValueError(
+            f"source_format must be 'parquet', 'table' or None, "
+            f"got {source_format!r}"
+        )
     missing = _PAGES_COLUMNS - set(df.columns)
     if missing:
         raise ValueError(

@@ -52,6 +52,37 @@ def test_registry_import_failures_propagate():
 
 
 # --------------------------------------------------------------------- #
+# set_count honors qf_set_auto_resize (ADVICE r4): the reference routes
+# qf_set_count through qf_insert, which doubles on QF_NO_SPACE.
+# --------------------------------------------------------------------- #
+
+def test_set_count_auto_resize_grows():
+    from cqf_spark.core import Cqf, NoSpaceError
+
+    cfg = CqfConfig(key_bits=18, hash_mode=HashMode.DEFAULT, seed=4)
+    keys = np.random.default_rng(3).integers(0, 2**17, 2000).astype(np.uint64)
+    sk = Cqf.empty(cfg, 9)
+    i = 0
+    try:
+        while True:
+            sk.insert1(int(keys[i]))
+            i += 1
+    except NoSpaceError:
+        pass
+    # full filter, flag off: a count-raising set_count still raises
+    with pytest.raises(NoSpaceError):
+        sk.set_count(int(keys[i]), 10)
+    # flag on: the copy grows instead, content preserved
+    grown = sk.set_auto_resize().set_count(int(keys[i]), 10)
+    assert grown.geom.qbits > sk.geom.qbits
+    assert int(grown.count(keys[i : i + 1])[0]) == 10
+    probe = keys[:16]
+    assert (grown.count(probe) == sk.count(probe)).all()
+    # the original is untouched (set_count works on a copy)
+    assert int(sk.count(keys[i : i + 1])[0]) == 0
+
+
+# --------------------------------------------------------------------- #
 # distributed heavy hitters (VERDICT r4 #7)
 # --------------------------------------------------------------------- #
 
@@ -121,6 +152,36 @@ def test_heavy_hitters_requires_invertible(spark, skewed_df):
             sk.heavy_hitters_df(5)
     finally:
         sk.df.unpersist()
+
+
+def test_load_pages_explicit_format_and_no_fs_probe(spark, sf_dir, tmp_path):
+    """ADVICE r4: path-vs-table must resolve by syntax or explicit
+    format, never by probing the driver filesystem — a cwd-relative file
+    matching a table name must not shadow the table."""
+    import os
+
+    from cqf_spark.webtext import load_pages, synth_webtext
+
+    pages = synth_webtext(spark, sf_dir)
+    pages.createOrReplaceTempView("pages_shadow")
+    p = str(tmp_path / "bigger.parquet")
+    pages.unionAll(pages).write.parquet(p)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.rename("bigger.parquet", "pages_shadow")
+        # bare name = TABLE, even though ./pages_shadow exists on disk
+        via_table = load_pages(spark, "pages_shadow")
+        assert via_table.count() == pages.count()
+        # explicit format reaches the file under the same name
+        via_file = load_pages(
+            spark, str(tmp_path / "pages_shadow"), source_format="parquet"
+        )
+        assert via_file.count() == 2 * pages.count()
+    finally:
+        os.chdir(cwd)
+    with pytest.raises(ValueError, match="source_format"):
+        load_pages(spark, "x", source_format="iceberg_manifest")
 
 
 def test_ivf_auto_mode_leaves_no_cache(spark):
