@@ -357,7 +357,11 @@ def summarize(
     #   so un-reached hi floors UNDERSTATE the ratio.  THE GATE USES
     #   THIS, plus a reproducibility check that each level's floor is
     #   confirmed within 15% by a second round (a floor seen once could
-    #   be a timer artifact; one seen twice is a capability).
+    #   be a timer artifact; one seen twice is a capability), plus the
+    #   eff > 1.05 unreached-floor sentinel below.  PINNED as of r5
+    #   (VERDICT r4 #2): this estimator does not change again; the
+    #   median matched round stays reported as permanent secondary
+    #   evidence.
     # * best matched round: the within-round paired ratio, best round.
     #   Biased HIGH by construction (advisor r3): a round with a
     #   throttled lo leg and a clean hi leg inflates the ratio, and
@@ -402,6 +406,32 @@ def summarize(
         "hi_core": _repro(his, "core_s"),
     }
     floors_ok = all(v is not None and v <= 0.15 for v in repro.values())
+    # Unreached-floor sentinel (ADVICE r4, now part of the PINNED gate):
+    # a floor ratio > 1.05 is physically impossible for a real capability
+    # ratio (4N cannot be >4.2x of N per core) — it means (at least) the
+    # LO level never reached its floor, i.e. that metric's measurement is
+    # INVALID for this campaign.  The 15% reproducibility check cannot
+    # catch this case (both rounds can reproduce the same throttled
+    # plateau), so an eff > 1.05 FAILS the gate for that metric instead
+    # of passing it.  When this fires, the substitute evidence is a
+    # cross-campaign floor (the level's best wall across recorded
+    # campaigns) — recorded HERE so the JSON is self-describing, with
+    # the re-run/reanalysis against that floor done explicitly, never
+    # silently swapped in.
+    sentinel = 1.05
+    unreliable = [
+        name
+        for name, eff in (("webtext", eff_wt), ("core", eff_core))
+        if eff > sentinel
+    ]
+    # softer advisory flag: 1.0 < eff <= 1.05 still passes (could be
+    # noise on a true ~1.0) but is recorded as suspect — a ratio above
+    # 1.0 is never a capability, only an unreached lo floor or jitter
+    suspect = [
+        name
+        for name, eff in (("webtext", eff_wt), ("core", eff_core))
+        if 1.0 < eff <= sentinel
+    ]
     out = {
         "metric": "throughput scaling efficiency, local[N] vs local[4N]",
         "N": n,
@@ -419,8 +449,16 @@ def summarize(
         "floor_reproducibility_gap": repro,
         "floors_reproduced_within_15pct": bool(floors_ok),
         "gate_estimator": "ratio of per-level floors, floors reproduced "
-        "within 15% by a second round",
-        "pass_0.8": bool(min(eff_wt, eff_core) >= 0.8 and floors_ok),
+        "within 15% by a second round, eff > 1.05 = unreached-floor "
+        "sentinel (metric invalid)",
+        "floor_sentinel_threshold": sentinel,
+        "metrics_invalid_unreached_floor": unreliable,
+        "metrics_suspect_ratio_above_1": suspect,
+        "pass_0.8": bool(
+            0.8 <= eff_wt <= sentinel
+            and 0.8 <= eff_core <= sentinel
+            and floors_ok
+        ),
         "hardware_control_efficiency": control_eff,
         "sf_dir": SF_DIR,
         "replication": REPL, "core_n": CORE_N,
@@ -477,11 +515,14 @@ def reanalyze(log_path: str, n: int = 2) -> None:
 
     los, his = [], []
     control_eff = None  # serialized as JSON null if the log lacks the line
+    warmups_in_log = 0
     with open(log_path) as f:
         for line in f:
             m = re.match(r"\[scaling\] hardware control: (\{.*\})", line.strip())
             if m:
                 control_eff = ast.literal_eval(m.group(1))["efficiency"]
+            if re.match(r"\[scaling\] warmup:", line.strip()):
+                warmups_in_log += 1
             m = re.match(r"\[scaling\] round \d+: lo=(\{.*?\}) hi=(\{.*\})", line.strip())
             if m:
                 los.append(ast.literal_eval(m.group(1)))
@@ -489,6 +530,9 @@ def reanalyze(log_path: str, n: int = 2) -> None:
     if not los:
         raise SystemExit(f"no counted rounds found in {log_path}")
     out = summarize(n, los, his, control_eff)
+    # warm-up provenance = what the LOG shows, not the current env
+    # default (ADVICE r4: pre-warmup-era logs must reanalyze as 0)
+    out["warmup_rounds"] = warmups_in_log
     out["reanalyzed_from"] = os.path.basename(log_path)
     _write_result(out)
 
