@@ -56,13 +56,57 @@ def alpha_ratio_expr(text_col: str = "text"):
     )
 
 
+def bigrams_expr(text_col: str = "text"):
+    """Adjacent whitespace-token bigrams (``"a b"``) as an array Column.
+    ``sequence`` counts DOWN when start > stop, so the <2-token case must
+    be guarded to an empty array rather than relying on an empty range."""
+    l = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(l) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(l) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(l, i), F.element_at(l, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_bigram_count_expr(text_col: str = "text"):
+    """Occurrences of the document's most frequent token bigram — the
+    Gopher-style repetition signal — as a pure codegen Column: sort the
+    bigram array, then fold a (prev, run, best) struct over it to find
+    the longest equal run.  O(n log n) per row, NO shuffle — strictly
+    cheaper at corpus scale than the explode → groupBy(doc, bigram) →
+    join-back plan, which moves every doc's bigrams through an exchange
+    to compute a per-row number.  0 for docs with fewer than 2 tokens."""
+    s = F.array_sort(bigrams_expr(text_col))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: char/token counts, mean token length,
-    stopword ratio, alpha ratio.  All codegen expressions."""
+    stopword ratio, alpha ratio, plus Gopher-style repetition signals
+    (duplicate-token fraction, top-bigram count/mass).  All codegen
+    expressions in ONE select over one scan — no shuffle, no join."""
     toks = F.split(F.col(text_col), " ")
     n_toks = n_tokens_expr(text_col)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.array_intersect(toks, stop_arr))  # distinct-stopword count
+    n_distinct = F.size(F.array_distinct(toks))
+    top_bg = top_bigram_count_expr(text_col)
+    n_bg = F.greatest(n_toks - 1, F.lit(0))
     return docs.select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
@@ -70,10 +114,15 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             (F.length(text_col) - n_toks + 1) / n_toks, 4
         ).alias("mean_token_len"),
-        F.round(n_stop / F.size(F.array_distinct(toks)), 4).alias(
-            "stopword_type_ratio"
-        ),
+        F.round(n_stop / n_distinct, 4).alias("stopword_type_ratio"),
         alpha_ratio_expr(text_col).alias("alpha_ratio"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(F.lit(1.0) - n_distinct / n_toks, 4).alias("dup_token_frac"),
+        top_bg.alias("top_bigram_count"),
+        n_bg.alias("n_bigrams"),
+        F.when(n_bg > 0, F.round(top_bg / n_bg, 4))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
     )
 
 
@@ -313,15 +362,29 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 TEXT_ORACLES: dict[str, str] = {
+    # repetition oracle: bigram start indices via range(1, len(l)) — empty
+    # for <2 tokens — and the top-bigram count via the quadratic
+    # distinct×filter form (fine at oracle SF; the Spark side is the
+    # O(n log n) sorted-run fold).
     "text_quality_scores": (
-        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') l FROM documents) "
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') l FROM documents), "
+        "b AS (SELECT doc_id, text, l, "
+        "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) bg FROM t), "
+        "c AS (SELECT *, COALESCE(list_max(list_transform(list_distinct(bg), "
+        "x -> len(list_filter(bg, y -> y = x)))), 0) tbc FROM b) "
         "SELECT doc_id, LENGTH(text) AS n_chars, len(l) AS n_tokens, "
         "ROUND((LENGTH(text) - len(l) + 1) * 1.0 / len(l), 4) AS mean_token_len, "
         "ROUND(len(list_intersect(l, "
         "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by']"
         ")) * 1.0 / len(list_distinct(l)), 4) AS stopword_type_ratio, "
         "ROUND(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 "
-        "/ LENGTH(text), 4) AS alpha_ratio FROM t"
+        "/ LENGTH(text), 4) AS alpha_ratio, "
+        "len(list_distinct(l)) AS n_distinct_tokens, "
+        "ROUND(1.0 - len(list_distinct(l)) * 1.0 / len(l), 4) AS dup_token_frac, "
+        "tbc AS top_bigram_count, "
+        "len(bg) AS n_bigrams, "
+        "CASE WHEN len(bg) > 0 THEN ROUND(tbc * 1.0 / len(bg), 4) "
+        "ELSE 0.0 END AS top_bigram_frac FROM c"
     ),
     "text_token_counts": (
         "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "

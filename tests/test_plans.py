@@ -177,3 +177,19 @@ def test_kmeans_update_aggregates_map_side(spark, sf_dir):
     assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
     # dataflow order: partial HashAggregate feeds the Exchange
     assert re.search(r"Exchange \(\d+\)\n\s*\+- HashAggregate", plan), plan
+
+
+def test_quality_scores_single_project_no_shuffle(spark, sf_dir):
+    """The full quality feature set — including the r5 Gopher-style
+    repetition signals (dup-token fraction, top-bigram mass via the
+    sorted-run fold) — must stay ONE Project over the scan: per-row
+    metrics must never pay an Exchange (the explode -> groupBy ->
+    join-back alternative would shuffle every doc's bigrams)."""
+    from cqf_spark.operators.text_queries import quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(quality_scores(docs), spark)
+    assert "Exchange" not in plan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in schema_line and "doc_id" in schema_line
+    assert "lang" not in schema_line  # untouched column pruned

@@ -260,3 +260,59 @@ def test_heavy_hitters_plan_is_take_ordered(spark, skewed_df):
     finally:
         sk.df.unpersist()
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------- #
+# Gopher-style repetition metrics in quality_scores
+# --------------------------------------------------------------------- #
+
+def test_repetition_metrics_values(spark):
+    """dup_token_frac and top-bigram count/mass against hand-computed
+    values, including the <2-token edge the sequence() guard covers and
+    a doc whose most frequent bigram is NOT the first one sorted."""
+    from cqf_spark.operators.text_queries import quality_scores
+
+    rows = [
+        (1, "spam ham spam ham spam ham spam ham"),  # "spam ham" x4 of 7
+        (2, "one"),                                  # no bigrams
+        (3, "all distinct words here now"),          # every bigram unique
+        (4, "z z a a a z z z"),                      # "z z" x3 beats "a a" x2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        quality_scores(df)
+        .orderBy("doc_id")
+        .select(
+            "doc_id", "n_distinct_tokens", "dup_token_frac",
+            "top_bigram_count", "n_bigrams", "top_bigram_frac",
+        )
+        .collect()
+    )
+    want = [
+        (1, 2, 0.75, 4, 7, 0.5714),
+        (2, 1, 0.0, 0, 0, 0.0),
+        (3, 5, 0.0, 1, 4, 0.25),
+        (4, 2, 0.75, 3, 7, 0.4286),
+    ]
+    assert [tuple(r) for r in got] == want
+
+
+def test_top_bigram_count_matches_explode_groupby(spark, sf_dir):
+    """The codegen sorted-run fold must agree with the canonical
+    explode -> groupBy count on real corpus text (docs with <2 tokens
+    produce no exploded rows, so the join is inner over the rest)."""
+    import pyspark.sql.functions as F
+    from cqf_spark.operators.text_queries import (
+        bigrams_expr, top_bigram_count_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    fold = docs.select("doc_id", top_bigram_count_expr().alias("fc"))
+    naive = (
+        docs.select("doc_id", F.explode(bigrams_expr()).alias("bg"))
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id").agg(F.max("count").alias("nc"))
+    )
+    joined = fold.join(naive, "doc_id")
+    assert joined.where(F.col("fc") != F.col("nc")).count() == 0
+    assert joined.count() > 100  # the corpus really exercised the fold
