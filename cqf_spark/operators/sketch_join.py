@@ -1,0 +1,95 @@
+"""Sketch-accelerated join pruning (bloom-join with a CQF).
+
+At 100 TB the dominant cost of ``fact JOIN dim_subset`` is shuffling the
+fact side; when the dim subset matches a small fraction of fact rows,
+almost all of that exchange is wasted.  The classic fix is a bloom-join:
+build an approximate-membership filter over the dim keys, broadcast it,
+and drop non-matching fact rows BEFORE the exchange.  The CQF is exactly
+such a filter (reference use case: src/gqf.c's qf_count_key_value as a
+pre-filter; false-positive rate alpha * 2^-r), so this module composes
+the existing pieces — ``cqf_aggregate`` build + ``contains_udf`` probe —
+into join operators that are EXACT end-to-end:
+
+* no false negatives: every dim key is inserted, so no matching fact row
+  is ever pruned;
+* false positives (bounded by the remainder width) survive the pre-filter
+  but are removed by the real join that follows.
+
+Spark's own runtime bloom-filter join (`spark.sql.optimizer.runtime.
+bloomFilter.enabled`) covers the planner-visible case; this operator is
+for when the "dim" side is itself the product of engine work (a sketch
+already built, a deduped key set, a curation drop-list) or when the
+filter must be reused across many queries — the CQF blob is buildable
+once, serializable, and mergeable.
+
+Scale notes: the sketch is broadcast once (q bits sized from the dim
+count; ~(2^q * (r+3))/8 bytes, e.g. ~134 MB at q=27/r=8 for 1e8 keys at
+95% load).  Past broadcastable sizes, use ``ShardedCqf.count_join``
+(sharded.py) — the cogroup topology — instead of this operator.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from ..aggregator import cqf_aggregate, contains_udf
+from ..config import CqfConfig
+from ..core import Cqf
+
+
+def build_key_filter(
+    df: DataFrame,
+    key_col: str,
+    config: CqfConfig | None = None,
+) -> Cqf:
+    """Build the membership CQF over ``df[key_col]`` (distributed build,
+    tree-merged to one sketch on the driver)."""
+    config = config or CqfConfig(key_bits=48, seed=7)
+    return cqf_aggregate(df, key_col, config)
+
+
+def sketch_prune(
+    big: DataFrame,
+    key_col: str,
+    sketch: Cqf,
+    spark: Any = None,
+) -> DataFrame:
+    """``big`` filtered to rows whose key is PROBABLY in the sketch.
+
+    No false negatives (every true match survives); false positives pass
+    at rate <= alpha * 2^-r and must be cleaned up by a real join if
+    exactness is required.  The filter is a broadcast-blob Arrow-batched
+    probe evaluated BEFORE any exchange the caller adds downstream — the
+    whole point is that the shuffle above this operator moves only
+    ~|matches| + fp_rate * |big| rows."""
+    spark = spark or big.sparkSession
+    return big.where(contains_udf(spark, sketch)(big[key_col]))
+
+
+def sketch_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    config: CqfConfig | None = None,
+) -> DataFrame:
+    """Exact ``big LEFT SEMI JOIN small ON key_col`` with the big side
+    pre-pruned by a CQF of the small side's keys."""
+    sketch = build_key_filter(small.select(key_col), key_col, config)
+    pruned = sketch_prune(big, key_col, sketch)
+    return pruned.join(small.select(key_col).distinct(), key_col, "left_semi")
+
+
+def sketch_inner_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    config: CqfConfig | None = None,
+) -> DataFrame:
+    """Exact ``big INNER JOIN small ON key_col`` with the big side
+    pre-pruned by a CQF of the small side's keys.  Column set is the
+    usual join output (key, big cols, small cols)."""
+    sketch = build_key_filter(small.select(key_col), key_col, config)
+    pruned = sketch_prune(big, key_col, sketch)
+    return pruned.join(small, key_col)

@@ -316,3 +316,78 @@ def test_top_bigram_count_matches_explode_groupby(spark, sf_dir):
     joined = fold.join(naive, "doc_id")
     assert joined.where(F.col("fc") != F.col("nc")).count() == 0
     assert joined.count() > 100  # the corpus really exercised the fold
+
+
+# --------------------------------------------------------------------- #
+# sketch-accelerated join pruning (bloom-join with a CQF)
+# --------------------------------------------------------------------- #
+
+def test_sketch_semi_join_exact(spark, sf_dir):
+    """Pruned semi/inner joins must be EXACT: no false negatives by
+    construction, false positives removed by the real join."""
+    import pyspark.sql.functions as F
+    from cqf_spark.operators.sketch_join import (
+        sketch_inner_join, sketch_semi_join,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # a small dim subset under the fact table's key name
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where("c_custkey % 37 = 0")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal")
+    )
+    want_semi = sorted(
+        r[0]
+        for r in orders.join(dim.select("o_custkey").distinct(),
+                             "o_custkey", "left_semi")
+        .select("o_orderkey").collect()
+    )
+    got_semi = sorted(
+        r[0]
+        for r in sketch_semi_join(orders, dim, "o_custkey")
+        .select("o_orderkey").collect()
+    )
+    assert got_semi == want_semi and len(want_semi) > 0
+
+    want_inner = orders.join(dim, "o_custkey").count()
+    assert sketch_inner_join(orders, dim, "o_custkey").count() == want_inner
+
+
+def test_sketch_prune_cuts_shuffle_rows(spark, sf_dir):
+    """The pre-filter must (a) keep every true match and (b) shrink the
+    big side to ~|matches| + fp*|big| BEFORE any exchange — the plan
+    shows the Arrow probe below the join's shuffle."""
+    import pyspark.sql.functions as F
+    from cqf_spark.operators.sketch_join import (
+        build_key_filter, sketch_prune, sketch_semi_join,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where("c_custkey % 37 = 0")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    sk = build_key_filter(dim, "o_custkey")
+    n_big = orders.count()
+    n_match = orders.join(dim.distinct(), "o_custkey", "left_semi").count()
+    n_pruned = sketch_prune(orders, "o_custkey", sk).count()
+    assert n_pruned >= n_match  # no false negatives
+    # fp bound with generous slack (r=16 remainder at this config)
+    assert n_pruned <= n_match + max(50, int(0.01 * n_big))
+    assert n_pruned < 0.5 * n_big  # the prune is actually pruning
+
+    # The pruned frame itself must be exchange-free (scan -> Arrow probe):
+    # any join the caller adds can only introduce exchanges ABOVE it, so
+    # the probe always runs before the shuffle.  (The semi join itself may
+    # legitimately broadcast the small side — no exchange at all.)
+    plan = (
+        sketch_prune(orders, "o_custkey", sk)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
+    assert "ArrowEvalPython" in (
+        sketch_semi_join(orders, dim, "o_custkey")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
