@@ -81,6 +81,50 @@ def sketch_semi_join(
     return pruned.join(small.select(key_col).distinct(), key_col, "left_semi")
 
 
+def sketch_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    config: CqfConfig | None = None,
+    sketch: Cqf | None = None,
+) -> DataFrame:
+    """Exact ``big LEFT ANTI JOIN small ON key_col`` — keep the rows of
+    ``big`` whose key is NOT in ``small`` — with the exchange pruned to
+    the sketch's suspects.
+
+    This is the incremental-crawl dedup primitive: ``big`` = the new
+    snapshot, ``small``/``sketch`` = fingerprints already seen.  The CQF
+    splits the new snapshot scan-locally:
+
+    * ``not contains`` -> DEFINITELY unseen (the CQF has no false
+      negatives): emitted directly, no exchange at all;
+    * ``contains`` -> seen OR a false positive (rate <= alpha * 2^-r):
+      only these ~|dups| + fp * |big| rows reach the exact anti-join
+      that removes the true duplicates.
+
+    Pass ``sketch`` to reuse a filter built earlier (e.g. reloaded from a
+    previous run's ``Cqf.to_reference_file`` image — the resumable
+    snapshot-over-snapshot path); otherwise one is built from ``small``.
+
+    Cost model at 100 TB: two scans of ``big`` (the two union branches)
+    plus a shuffle of only the suspect fraction, vs one scan plus a FULL
+    shuffle for the naive anti-join.  A shuffle costs a write + sort +
+    read of every surviving column, so for dup rates well under 100% the
+    two-branch plan wins; callers that already persist ``big`` pay one
+    scan.  Past broadcastable sketch sizes use ``ShardedCqf.count_join``.
+    """
+    spark = big.sparkSession
+    small_keys = small.select(key_col)
+    if sketch is None:
+        sketch = build_key_filter(small_keys, key_col, config)
+    maybe = contains_udf(spark, sketch)(big[key_col])
+    definitely_new = big.where(~maybe)
+    suspects = big.where(maybe).join(
+        small_keys.distinct(), key_col, "left_anti"
+    )
+    return definitely_new.unionByName(suspects)
+
+
 def sketch_inner_join(
     big: DataFrame,
     small: DataFrame,

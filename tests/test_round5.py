@@ -391,3 +391,76 @@ def test_sketch_prune_cuts_shuffle_rows(spark, sf_dir):
         sketch_semi_join(orders, dim, "o_custkey")
         ._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_sketch_anti_join_exact(spark, sf_dir):
+    """Pruned anti join must be EXACT: the not-contains branch is safe
+    because the CQF has no false negatives, and the contains branch's
+    exact anti-join removes the true duplicates."""
+    import pyspark.sql.functions as F
+    from cqf_spark.operators.sketch_join import sketch_anti_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where("c_custkey % 3 = 0")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    want = sorted(
+        r[0]
+        for r in orders.join(dim.distinct(), "o_custkey", "left_anti")
+        .select("o_orderkey").collect()
+    )
+    got = sorted(
+        r[0]
+        for r in sketch_anti_join(orders, dim, "o_custkey")
+        .select("o_orderkey").collect()
+    )
+    assert got == want and 0 < len(want) < orders.count()
+
+
+def test_snapshot_incremental_dedup_persisted_sketch(spark, sf_dir, tmp_path):
+    """The resumable crawl-over-crawl path: fingerprints of snapshot 1
+    persisted as an on-disk reference-format CQF image, reloaded by the
+    next run, and used to anti-join snapshot 2 (which contains planted
+    cross-snapshot duplicates) down to its genuinely new pages."""
+    import pyspark.sql.functions as F
+    from cqf_spark.core import Cqf
+    from cqf_spark.operators.sketch_join import (
+        build_key_filter, sketch_anti_join,
+    )
+    from cqf_spark.webtext import synth_webtext, with_extracted_text
+
+    pages = with_extracted_text(synth_webtext(spark, sf_dir)).select(
+        "url", "warc_ts", F.xxhash64("extracted_text").alias("fp")
+    )
+    days = [r[0] for r in pages.select(F.to_date("warc_ts")).distinct()
+            .orderBy(F.to_date("warc_ts")).collect()]
+    assert len(days) >= 2
+    old = pages.where(F.to_date("warc_ts") == F.lit(days[0]))
+    # snapshot 2 = day-2 pages plus every 4th day-1 page re-crawled
+    recrawled = old.where(F.xxhash64("url") % 4 == 0)
+    new = pages.where(F.to_date("warc_ts") == F.lit(days[-1])).unionByName(
+        recrawled
+    )
+    assert recrawled.count() > 0
+
+    # run 1 persists its fingerprint sketch; run 2 reloads it from disk
+    path = str(tmp_path / "seen_fp.cqf")
+    build_key_filter(old.select("fp"), "fp").to_reference_file(path)
+    seen = Cqf.from_reference_file(path)
+
+    got = sorted(
+        r[0]
+        for r in sketch_anti_join(new, old.select("fp"), "fp", sketch=seen)
+        .select("url").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in new.join(old.select("fp").distinct(), "fp", "left_anti")
+        .select("url").collect()
+    )
+    assert got == want
+    # the recrawls really were removed and the new day really survived
+    assert len(want) < new.count()
+    assert len(want) > 0
