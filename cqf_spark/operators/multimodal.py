@@ -1,18 +1,29 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` cells with
 typed metadata, processed by Arrow-batched UDFs.
 
-PNG image decode is REAL (pure zlib+numpy codec, functions/png.py —
-all five scanline filters, golden-tested): image cells whose bytes carry
-the PNG signature are decoded to pixels, and their features
-(``feat_dim``, ``pixel_mean``) come from the actual pixel array.  The
-remaining kernels (JPEG decode, audio PCM decode, video frame demux) are
-STUBS — those libraries are not available in this environment — but
+Four decode kernels are REAL, all pure stdlib+numpy, zero new
+dependencies, each golden-tested against its own encoder:
+
+* PNG images (functions/png.py — all five scanline filters);
+* baseline JPEG images (functions/jpeg.py — numpy DCT, canonical
+  Huffman from the stream's own DHT/DQT, 4:4:4/4:2:2/4:2:0/grayscale,
+  restart markers);
+* WAV PCM audio (functions/wav.py — RIFF chunk walk, 8/16-bit,
+  normalized float32);
+* Y4M video (functions/y4m.py — YUV4MPEG2 demux, O(1) frame seek,
+  mono/420 luma planes).
+
+Cells whose bytes carry the matching signature are decoded and their
+features (``feat_dim``, ``pixel_mean``) come from the actual decoded
+array.  The remaining kernels (webp/heic images, compressed audio/video
+codecs) are STUBS — codec libraries are not available here — but
 everything Spark-side is real and tested: schemas, batch shapes,
 partitioning, metadata propagation, feature extraction over the raw
 bytes, and frame/window sampling logic.  Each stub is clearly marked and
-either raises ``NotImplementedError`` (strict mode; PNG no longer does)
-or produces a deterministic fake derived from the byte content
-(default), so pipelines are end-to-end runnable and oracle-checkable.
+either raises ``NotImplementedError`` (strict mode; PNG/JPEG/WAV/Y4M no
+longer do) or produces a deterministic fake derived from the byte
+content (default), so pipelines are end-to-end runnable and
+oracle-checkable.
 
 Media table shape::
 
@@ -31,7 +42,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.jpeg import JPEG_MAGIC, decode_jpeg
 from ..functions.png import PNG_MAGIC, decode_png
+from ..functions.wav import WAV_MAGIC, decode_wav, is_wav
+from ..functions.y4m import Y4M_MAGIC, decode_y4m
 
 META_SCHEMA = (
     "meta struct<size_bytes: long, width: int, height: int, channels: int, "
@@ -80,22 +94,28 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 def decode_image(buf: bytes, width: int, height: int, strict: bool):
-    """Image decode.  PNG bytes decode for REAL (functions/png.py);
-    other formats (JPEG, ...) fall through to the declared stub."""
+    """Image decode.  PNG bytes decode for REAL (functions/png.py), as
+    do baseline JPEG bytes (functions/jpeg.py — numpy DCT + canonical
+    Huffman read from the stream's own tables); other formats fall
+    through to the declared stub."""
+    from ..functions.jpeg import decode_jpeg, is_jpeg
     from ..functions.png import decode_png, is_png
 
     if is_png(bytes(buf)):
         return decode_png(bytes(buf))
+    if is_jpeg(bytes(buf)):
+        return decode_jpeg(bytes(buf))
     return _decode_image_stub(buf, width, height, strict)
 
 
 def _decode_image_stub(buf: bytes, width: int, height: int, strict: bool):
-    """STUB for non-PNG images: a real implementation would decode JPEG
-    bytes to an (h, w, 3) uint8 array (no JPEG library in this
-    container; PNG is handled for real by :func:`decode_image`)."""
+    """STUB for non-PNG/JPEG images: a real implementation would decode
+    the remaining formats (webp/heic/...) — no imaging library in this
+    container; PNG and baseline JPEG are handled for real by
+    :func:`decode_image`."""
     if strict:
         raise NotImplementedError(
-            "non-PNG image decode requires an imaging library"
+            "non-PNG/JPEG image decode requires an imaging library"
         )
     # deterministic fake: tile the raw bytes into the declared shape
     need = width * height * 3
@@ -104,12 +124,51 @@ def _decode_image_stub(buf: bytes, width: int, height: int, strict: bool):
     return np.tile(raw, reps)[:need].reshape(height, width, 3)
 
 
+def decode_audio(buf: bytes, strict: bool):
+    """Audio decode -> float32 PCM in [-1, 1], shape (n, channels).
+    RIFF/WAVE PCM bytes decode for REAL (functions/wav.py); other
+    formats fall through to the declared stub."""
+    from ..functions.wav import decode_wav, is_wav
+
+    if is_wav(bytes(buf)):
+        return decode_wav(bytes(buf))[0]
+    return _decode_audio_stub(buf, strict)
+
+
 def _decode_audio_stub(buf: bytes, strict: bool):
-    """STUB: a real implementation would decode to float32 PCM."""
+    """STUB for non-WAV audio: a real implementation would decode
+    compressed codecs (mp3/opus/...) to float32 PCM (no codec library in
+    this container; WAV PCM is handled for real by :func:`decode_audio`)."""
     if strict:
-        raise NotImplementedError("audio decode requires an audio library")
+        raise NotImplementedError(
+            "non-WAV audio decode requires a codec library"
+        )
     raw = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
     return (raw - 127.5) / 127.5
+
+
+def decode_video(buf: bytes, every_nth: int = 1, strict: bool = False):
+    """Video frame demux -> uint8 luma frames (n, h, w).  YUV4MPEG2
+    bytes demux for REAL (functions/y4m.py — skipped frames' bytes are
+    never touched); other containers fall through to the declared stub."""
+    from ..functions.y4m import decode_y4m, is_y4m
+
+    if is_y4m(bytes(buf)):
+        return decode_y4m(bytes(buf), every_nth=every_nth)
+    return _decode_video_stub(buf, strict)
+
+
+def _decode_video_stub(buf: bytes, strict: bool):
+    """STUB for non-Y4M video: a real implementation would demux/decode
+    compressed containers (mp4/webm/...) — no codec library in this
+    container; Y4M is handled for real by :func:`decode_video`."""
+    if strict:
+        raise NotImplementedError(
+            "non-Y4M video decode requires a codec library"
+        )
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    side = max(int(np.sqrt(raw.size)), 1)
+    return np.resize(raw, (1, side, side))
 
 
 # --------------------------------------------------------------------- #
@@ -123,11 +182,13 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     combined (row, byte) bincount; per-row sums come from one cumsum.
     Media bytes are dropped batch-by-batch.
 
-    Image rows carrying real PNG bytes (signature-detected, vectorized)
-    are DECODED: their ``feat_dim`` is the true pixel-array size and
-    ``pixel_mean`` the true pixel mean (functions/png.py).  ``strict=True``
-    routes the remaining modalities through the declared decode stubs
-    (which raise ``NotImplementedError`` — no JPEG/audio libs in this
+    Rows carrying real PNG/JPEG/WAV/Y4M bytes (signature-detected,
+    vectorized) are DECODED: ``feat_dim`` is the true decoded size
+    (pixel-array size / PCM sample count / demuxed frame count) and
+    ``pixel_mean`` the true decoded mean
+    (functions/{png,jpeg,wav,y4m}.py).  ``strict=True`` routes
+    undecodable formats through the declared decode stubs (which raise
+    ``NotImplementedError`` — no compressed-codec libs in this
     container); the default path computes the same dims the decodes
     would yield.
     """
@@ -189,32 +250,57 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             feat_dim = np.where(
                 mtype == "image", w * h * 3, np.where(mtype == "audio", lens, nf)
             )
-            # vectorized PNG-signature scan over the flat buffer: an
-            # image row carrying real PNG bytes is decoded for REAL and
-            # its features come from the pixel array, not the metadata
+            # vectorized signature scans over the flat buffer: rows
+            # carrying real PNG/WAV/Y4M bytes are decoded for REAL and
+            # their features come from the decoded array, not metadata
             pixel_mean = np.full(n, np.nan)
             starts = offs[:-1] - offs[0]
-            png_row = (mtype == "image") & (lens >= 8)
-            if png_row.any():
-                cand = np.flatnonzero(png_row)
-                sig = raw[starts[cand, None] + np.arange(8)]
-                magic = np.frombuffer(PNG_MAGIC, dtype=np.uint8)
-                png_row[:] = False
-                png_row[cand[(sig == magic).all(axis=1)]] = True
-            for i in np.flatnonzero(png_row):
-                # per-IMAGE loop: PNG scanline unfiltering is inherently
-                # per-image work; the batch dimension parallelizes it
-                img = decode_png(
-                    raw[starts[i] : starts[i] + lens[i]].tobytes()
-                )
+
+            def magic_rows(mask: np.ndarray, magic: bytes) -> np.ndarray:
+                hit = mask & (lens >= max(len(magic), 12))
+                if hit.any():
+                    cand = np.flatnonzero(hit)
+                    sig = raw[starts[cand, None] + np.arange(len(magic))]
+                    want = np.frombuffer(magic, dtype=np.uint8)
+                    hit = np.zeros(n, dtype=bool)
+                    hit[cand[(sig == want).all(axis=1)]] = True
+                return hit
+
+            png_row = magic_rows(mtype == "image", PNG_MAGIC)
+            jpg_row = magic_rows(mtype == "image", JPEG_MAGIC)
+            wav_row = magic_rows(mtype == "audio", WAV_MAGIC)
+            y4m_row = magic_rows(mtype == "video", Y4M_MAGIC)
+            for i in np.flatnonzero(png_row | jpg_row):
+                # per-ITEM loops: decode is inherently per-item work;
+                # the batch dimension parallelizes it across the cluster
+                ibuf = raw[starts[i] : starts[i] + lens[i]].tobytes()
+                img = decode_png(ibuf) if png_row[i] else decode_jpeg(ibuf)
                 feat_dim[i] = img.size
                 pixel_mean[i] = round(float(img.mean()), 4)
-            if strict:  # non-PNG media still hit the declared stubs
+            for i in np.flatnonzero(wav_row):
+                buf = raw[starts[i] : starts[i] + lens[i]].tobytes()
+                if not is_wav(buf):  # "RIFF" prefix but not WAVE
+                    wav_row[i] = False
+                    continue
+                pcm = decode_wav(buf)[0]
+                feat_dim[i] = pcm.size
+                pixel_mean[i] = round(float(pcm.mean()), 4)
+            for i in np.flatnonzero(y4m_row):
+                frames = decode_y4m(
+                    raw[starts[i] : starts[i] + lens[i]].tobytes()
+                )
+                feat_dim[i] = frames.shape[0]
+                pixel_mean[i] = round(float(frames.mean()), 4)
+            if strict:  # undecodable formats still hit the declared stubs
                 for i in range(n):
-                    if mtype[i] == "image" and not png_row[i]:
+                    if mtype[i] == "image" and not (
+                        png_row[i] or jpg_row[i]
+                    ):
                         _decode_image_stub(b"", 0, 0, strict=True)
-                    elif mtype[i] == "audio":
+                    elif mtype[i] == "audio" and not wav_row[i]:
                         _decode_audio_stub(b"", strict=True)
+                    elif mtype[i] == "video" and not y4m_row[i]:
+                        _decode_video_stub(b"", strict=True)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -248,6 +334,51 @@ def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
     )
     return vid.select(
         "media_id", F.explode(frames).alias("frame_idx")
+    )
+
+
+def demux_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
+    """REAL frame sampling for video rows carrying Y4M bytes: demux every
+    n-th luma plane (functions/y4m.py — O(1) seek, skipped frames' bytes
+    untouched) and emit one row per sampled frame with its true pixel
+    mean.  Non-Y4M video rows are passed over (the compressed-codec
+    demux remains a declared stub).  Arrow-batched ``mapInPandas``; the
+    per-item demux parallelizes across partitions."""
+    from ..functions.y4m import is_y4m, y4m_frame_geometry
+
+    vid = media.where(F.col("media_type") == "video").select(
+        "media_id", "media"
+    )
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            means: list[float] = []
+            dims: list[str] = []
+            for mid, buf in zip(pdf["media_id"], pdf["media"]):
+                buf = bytes(buf)
+                if not is_y4m(buf):
+                    continue
+                w, h, _, _, nf = y4m_frame_geometry(buf)
+                frames = decode_y4m(buf, every_nth=every_nth)
+                for k, fr in zip(range(0, nf, every_nth), frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    means.append(round(float(fr.mean()), 4))
+                    dims.append(f"{w}x{h}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                    "dims": pd.Series(dims, dtype="object"),
+                }
+            )
+
+    return vid.mapInPandas(
+        demux,
+        schema="media_id long, frame_idx long, frame_mean double, dims string",
     )
 
 
