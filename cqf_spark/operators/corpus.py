@@ -1,0 +1,172 @@
+"""Corpus-construction operators a training-data pipeline runs after
+filtering/dedup: paragraph-level exact dedup and token-budget shard
+packing.  All native DataFrame expressions — no Python on any hot path.
+
+Reference scope note: these extend the pipeline surface beyond the
+reference repo (splatlab/cqf has no corpus stage); semantics follow the
+published web-corpus pipelines (paragraph dedup per Falcon/RefinedWeb
+and CCNet; greedy sequential shard packing as used for training-shard
+creation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_queries import n_tokens_expr
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb/CCNet stage):
+    every paragraph keeps exactly its FIRST occurrence — ordered by
+    (id, position) — and later copies are dropped from their documents;
+    documents are reassembled from their surviving paragraphs in order.
+
+    Returns (id_col, clean_text, n_paragraphs, n_dropped); documents
+    whose every paragraph was seen earlier come back with an empty
+    clean_text and n_dropped = n_paragraphs, so the caller decides the
+    drop policy.
+
+    Scale shape: posexplode -> one groupBy on the paragraph fingerprint
+    (the canonical exact-dedup exchange; paragraphs themselves never
+    shuffle — only (fp, id, pos) triples) -> join winners back by fp ->
+    one groupBy(id) to reassemble.  Skew-safe: a boilerplate paragraph
+    repeated 10^9 times is ONE group whose aggregate is a 16-byte min.
+    """
+    parts = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            "_pos", "_para"
+        ),
+    ).where(F.length(F.trim("_para")) > 0)
+    keyed = parts.select(
+        "_id", "_pos", "_para", F.xxhash64("_para").alias("_fp")
+    )
+    winners = keyed.groupBy("_fp").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w")
+    )
+    kept = keyed.join(winners, "_fp").where(
+        (F.col("_id") == F.col("_w._id")) & (F.col("_pos") == F.col("_w._pos"))
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), F.lit(sep)),
+                lambda p: F.length(F.trim(p)) > 0,
+            )
+        ).alias("n_paragraphs"),
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s._para,
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    return (
+        per_doc.join(rebuilt, "_id", "left_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paragraphs",
+            (
+                F.col("n_paragraphs") - F.coalesce("_n_kept", F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )
+
+
+def pack_corpus(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_partition: bool = False,
+) -> DataFrame:
+    """Greedy sequential token-budget shard packing (training-shard
+    creation): documents in ``id_col`` order are placed into shard k =
+    floor(start_offset / budget), i.e. a document opens a new shard when
+    its first token would land past the current shard's budget.  Shards
+    hold consecutive documents and may overflow by at most one document
+    (the standard streaming-pack bound).
+
+    ``per_partition=False`` (default): one global ordering — a total
+    sort.  Deterministic, and the right mode up to the sort's practical
+    limit.  ``per_partition=True``: the 100 TB mode — the running
+    offset is carried across Arrow batches INSIDE each input partition
+    (a ``mapInPandas`` whose plan contains no Exchange at all; shard
+    ids are (partition, local_shard) pairs), trading global shard
+    numbering for a fully parallel single pass, exactly how shard
+    writers run on a real cluster.  A ``Window.partitionBy`` would NOT
+    do this: window functions hash-repartition on their keys even when
+    the key is ``spark_partition_id()`` (plan-audited in the tests).
+
+    Returns (id_col, n_tokens, shard_id string, shard_off long).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_toks = n_tokens_expr(text_col)
+    if per_partition:
+        base = docs.select(
+            F.col(id_col), n_toks.cast("long").alias("n_tokens"),
+            F.spark_partition_id().alias("_part"),
+        )
+
+        def pack(batches):
+            off = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                n = pdf["n_tokens"].to_numpy(np.int64)
+                start = off + np.concatenate(
+                    ([0], np.cumsum(n, dtype=np.int64)[:-1])
+                )
+                off += int(n.sum())
+                shard = start // budget_tokens
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_tokens": n,
+                        "shard_id": (
+                            pdf["_part"].astype(str)
+                            + "-"
+                            + pd.Series(shard, index=pdf.index).astype(str)
+                        ),
+                        "shard_off": start - shard * budget_tokens,
+                    }
+                )
+
+        return base.mapInPandas(
+            pack,
+            schema=(
+                f"{id_col} long, n_tokens long, shard_id string, "
+                "shard_off long"
+            ),
+        )
+    base = docs.select(F.col(id_col), n_toks.cast("long").alias("n_tokens"))
+    win = Window.orderBy(id_col)
+    cum = base.withColumn(
+        "_start", F.sum("n_tokens").over(win) - F.col("n_tokens")
+    )
+    shard_local = F.floor(F.col("_start") / F.lit(budget_tokens))
+    return cum.select(
+        id_col,
+        "n_tokens",
+        F.concat_ws("-", F.lit("0"), shard_local.cast("string")).alias(
+            "shard_id"
+        ),
+        (F.col("_start") - shard_local * F.lit(budget_tokens)).alias(
+            "shard_off"
+        ),
+    )
