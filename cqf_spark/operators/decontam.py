@@ -1,0 +1,119 @@
+"""Benchmark decontamination: flag training documents whose token
+n-grams overlap a held-out evaluation set (the GPT-3/PaLM pipeline
+stage).  Exact end-to-end, CQF-accelerated.
+
+Topology at 100 TB: the benchmark side is small (eval suites are
+thousands of documents), so its distinct n-gram set becomes ONE
+broadcast CQF (built distributed, ``cqf_aggregate``).  The corpus's
+exploded gram stream is probed scan-locally — only the true hits plus
+the alpha*2^-r false-positive sliver ever reach the exact verify join —
+and the per-document tallies partial-aggregate before their one
+exchange on doc id.  Corpus text and non-matching grams never shuffle.
+
+Exactness: the CQF has no false negatives (every benchmark gram is
+inserted), and every surviving candidate is confirmed against the real
+benchmark gram set by a semi join, so scores equal the plain
+explode-join-count (the tests' DuckDB oracle computes exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..aggregator import contains_udf, cqf_aggregate
+from ..config import CqfConfig
+
+
+def ngrams_expr(n: int, text_col: str = "text"):
+    """Whitespace token n-grams as an array Column (space-joined);
+    empty array for docs with fewer than n tokens."""
+    toks = F.split(F.col(text_col), " ")
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    config: CqfConfig | None = None,
+) -> DataFrame:
+    """Per-document overlap with the benchmark's n-gram set:
+    (id_col, n_grams, n_hits, score) where score = n_hits / n_grams
+    over the document's DISTINCT grams (0.0 for docs shorter than n
+    tokens).  Callers drop or flag above their threshold."""
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_expr(n, text_col)).alias("_g"))
+        .distinct()
+    )
+    sketch = cqf_aggregate(
+        bench_grams, "_g", config or CqfConfig(key_bits=48, seed=29)
+    )
+    spark = corpus.sparkSession
+    doc_grams = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array_distinct(ngrams_expr(n, text_col))).alias(
+            "_g"
+        ),
+    )
+    # contains_udf is null-safe (null -> False), so the explode_outer
+    # sentinel row of a too-short doc can never become a hit
+    probed = doc_grams.withColumn(
+        "_maybe", contains_udf(spark, sketch)(F.col("_g"))
+    )
+    # exact verify of the sketch's candidates only: a hit survives iff
+    # the gram is REALLY in the benchmark set (false positives die here)
+    suspects = probed.where("_maybe").join(
+        bench_grams.withColumnRenamed("_g", "_g2"),
+        F.col("_g") == F.col("_g2"),
+        "left_semi",
+    )
+    hits = suspects.groupBy("_id").agg(F.count("*").alias("n_hits"))
+    totals = probed.groupBy("_id").agg(
+        F.count("_g").alias("n_grams")
+    )
+    return (
+        totals.join(hits, "_id", "left_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) / F.col("n_grams"), 6
+                )
+            )
+            .alias("score"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    max_score: float = 0.0,
+    config: CqfConfig | None = None,
+) -> DataFrame:
+    """Corpus minus documents whose contamination score exceeds
+    ``max_score`` (default: drop on ANY benchmark n-gram overlap, the
+    conservative published policy)."""
+    scores = contamination_scores(
+        corpus, benchmark, id_col, text_col, n, config
+    )
+    keep = scores.where(F.col("score") <= max_score).select(
+        F.col(id_col).alias("_keep_id")
+    )
+    return corpus.join(
+        keep, corpus[id_col] == F.col("_keep_id"), "left_semi"
+    )
