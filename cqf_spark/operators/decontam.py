@@ -117,3 +117,79 @@ def decontaminate(
     return corpus.join(
         keep, corpus[id_col] == F.col("_keep_id"), "left_semi"
     )
+
+
+# --------------------------------------------------------------------- #
+# driver-gated query + standalone DuckDB oracle
+# --------------------------------------------------------------------- #
+
+_N = 5  # gate gram width; production default is 13 (GPT-3's value)
+
+
+def q_decontam_scores(spark, sf_dir: str) -> DataFrame:
+    """Contamination scores with PLANTED overlap: the benchmark side is a
+    12-token slice of every 25th document (guaranteed real hits) plus one
+    unrelated prompt; the oracle recomputes the exact explode-join
+    overlap from documents alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .select(
+            F.array_join(F.slice(F.split("text", " "), 3, 12), " ").alias(
+                "text"
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("completely unrelated benchmark prompt",)], "text string"
+            )
+        )
+    )
+    return contamination_scores(docs, bench, n=_N)
+
+
+DECONTAM_ORACLES: dict[str, str] = {
+    "decontam_scores": f"""
+WITH bench AS (
+  SELECT array_to_string((string_split(text, ' '))[3:14], ' ') AS text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL SELECT 'completely unrelated benchmark prompt'
+),
+ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ci AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {_N} + 1, 0) + 1)) AS i
+  FROM ct
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i : i + {_N} - 1], ' ') AS g
+  FROM ci
+),
+bt AS (SELECT string_split(text, ' ') AS toks FROM bench),
+bi AS (
+  SELECT toks,
+         unnest(range(1, greatest(len(toks) - {_N} + 1, 0) + 1)) AS i
+  FROM bt
+),
+bg AS (
+  SELECT DISTINCT array_to_string(toks[i : i + {_N} - 1], ' ') AS g FROM bi
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_hits FROM cg
+  WHERE g IN (SELECT g FROM bg) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(t.n_grams, 0) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+            ELSE round(coalesce(h.n_hits, 0) / t.n_grams, 6) END AS score
+FROM (SELECT DISTINCT doc_id FROM documents) c
+LEFT JOIN tot t USING (doc_id) LEFT JOIN hit h USING (doc_id)
+""",
+}
+
+DECONTAM_QUERIES = {"decontam_scores": q_decontam_scores}

@@ -418,6 +418,31 @@ def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(synth_media(spark, sf_dir), max_side=32)
 
 
+def q_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video) + resize planning (image) union-shaped into
+    one gate row (driver gate caps at 50 queries; see __spark_entry__):
+    (media_id, kind, v1..v4) with -1 filling the unused slots of frame
+    rows — both operators stay fully value-checked."""
+    media = synth_media(spark, sf_dir)
+    frames = sample_frames(media, every_nth=5).select(
+        "media_id",
+        F.lit("frame").alias("kind"),
+        F.col("frame_idx").cast("long").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"),
+        F.lit(-1).cast("long").alias("v4"),
+    )
+    resize = resize_plan(media, max_side=32).select(
+        "media_id",
+        F.lit("resize").alias("kind"),
+        F.col("width").cast("long").alias("v1"),
+        F.col("height").cast("long").alias("v2"),
+        F.col("out_w").cast("long").alias("v3"),
+        F.col("out_h").cast("long").alias("v4"),
+    )
+    return frames.unionByName(resize)
+
+
 _SIZE_SQL = """
 WITH esc AS (
   SELECT doc_id, lang,
@@ -456,8 +481,7 @@ FROM page
 
 MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
-    "media_frame_sample": q_media_frame_sample,
-    "media_resize_plan": q_media_resize_plan,
+    "media_plan": q_media_plan,
 }
 
 MULTIMODAL_ORACLES: dict[str, str] = {
@@ -467,17 +491,19 @@ MULTIMODAL_ORACLES: dict[str, str] = {
         "(16 + (size_bytes * 7) % 64) * 3 WHEN 'audio' THEN size_bytes "
         "ELSE n_frames END AS BIGINT) AS feat_dim FROM m"
     ),
-    "media_frame_sample": (
-        f"WITH m AS ({_SIZE_SQL}) SELECT media_id, "
+    "media_plan": (
+        f"WITH m AS ({_SIZE_SQL}) "
+        "SELECT media_id, 'frame' AS kind, "
         "CAST(unnest(list_filter(range(0, n_frames), i -> i % 5 = 0)) "
-        "AS BIGINT) AS frame_idx FROM m WHERE media_type = 'video'"
-    ),
-    "media_resize_plan": (
-        f"WITH m AS ({_SIZE_SQL}) SELECT media_id, CAST(width AS INT) AS width, "
-        "CAST(height AS INT) AS height, "
+        "AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2, "
+        "CAST(-1 AS BIGINT) AS v3, CAST(-1 AS BIGINT) AS v4 "
+        "FROM m WHERE media_type = 'video' "
+        "UNION ALL "
+        "SELECT media_id, 'resize' AS kind, CAST(width AS BIGINT) AS v1, "
+        "CAST(height AS BIGINT) AS v2, "
         "CAST(GREATEST(FLOOR(width * LEAST(32.0/width, 32.0/height, 1.0)), 1) "
-        "AS INT) AS out_w, "
+        "AS BIGINT) AS v3, "
         "CAST(GREATEST(FLOOR(height * LEAST(32.0/width, 32.0/height, 1.0)), 1) "
-        "AS INT) AS out_h FROM m WHERE media_type = 'image'"
+        "AS BIGINT) AS v4 FROM m WHERE media_type = 'image'"
     ),
 }

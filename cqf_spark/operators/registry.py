@@ -22,10 +22,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .ann_queries import ANN_ORACLES, ANN_QUERIES
+from .corpus_queries import CORPUS_ORACLES, CORPUS_QUERIES
 from .curation import CURATION_ORACLES, CURATION_QUERIES
+from .decontam import DECONTAM_ORACLES, DECONTAM_QUERIES
 from .dedup_queries import DEDUP_ORACLES, DEDUP_QUERIES
 from .multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .sketch_family_queries import FAMILY_ORACLES, FAMILY_QUERIES
+from .sketch_join import SKETCH_JOIN_ORACLES, SKETCH_JOIN_QUERIES
 from .text_queries import TEXT_ORACLES, TEXT_QUERIES
 from .webtext_queries import WEBTEXT_ORACLES, WEBTEXT_QUERIES
 
@@ -36,6 +39,9 @@ for _q, _o in [
     (CURATION_QUERIES, CURATION_ORACLES),  # flagship — must gate first
     (WEBTEXT_QUERIES, WEBTEXT_ORACLES),
     (DEDUP_QUERIES, DEDUP_ORACLES),
+    (SKETCH_JOIN_QUERIES, SKETCH_JOIN_ORACLES),
+    (CORPUS_QUERIES, CORPUS_ORACLES),
+    (DECONTAM_QUERIES, DECONTAM_ORACLES),
     (TEXT_QUERIES, TEXT_ORACLES),
     (ANN_QUERIES, ANN_ORACLES),
     (FAMILY_QUERIES, FAMILY_ORACLES),

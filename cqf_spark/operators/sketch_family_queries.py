@@ -169,12 +169,24 @@ def q_kll_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest (events.value) and KLL (lineitem.l_extendedprice) rank-
+    error gates union-shaped into one row set (same (q, ok) grain; the
+    driver gate caps at 50 queries — see __spark_entry__)."""
+    td = q_tdigest_event_values(spark, sf_dir).select(
+        F.lit("tdigest").alias("sketch"), "q", "rank_err_ok"
+    )
+    kll = q_kll_extendedprice(spark, sf_dir).select(
+        F.lit("kll").alias("sketch"), "q", "rank_err_ok"
+    )
+    return td.unionByName(kll)
+
+
 FAMILY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_ndistinct_partkey": q_hll_ndistinct,
     "cm_counts_suppkey": q_cm_counts,
     "bloom_membership_custkey": q_bloom_membership,
-    "tdigest_event_value_quantiles": q_tdigest_event_values,
-    "kll_extendedprice_quantiles": q_kll_extendedprice,
+    "quantile_sketches": q_quantile_sketches,
 }
 
 FAMILY_ORACLES: dict[str, str] = {
@@ -189,12 +201,9 @@ FAMILY_ORACLES: dict[str, str] = {
     "bloom_membership_custkey": (
         "SELECT CAST(0 AS BIGINT) AS false_negatives, TRUE AS fp_rate_ok"
     ),
-    "tdigest_event_value_quantiles": (
-        "SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_err_ok FROM (VALUES (0.01), "
-        "(0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS t(q)"
-    ),
-    "kll_extendedprice_quantiles": (
-        "SELECT CAST(q AS DOUBLE) AS q, TRUE AS rank_err_ok FROM (VALUES (0.01), "
+    "quantile_sketches": (
+        "SELECT s AS sketch, CAST(q AS DOUBLE) AS q, TRUE AS rank_err_ok "
+        "FROM (VALUES ('tdigest'), ('kll')) AS st(s), (VALUES (0.01), "
         "(0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS t(q)"
     ),
 }

@@ -33,6 +33,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..aggregator import cqf_aggregate, contains_udf
 from ..config import CqfConfig
@@ -123,6 +124,29 @@ def sketch_anti_join(
         small_keys.distinct(), key_col, "left_anti"
     )
     return definitely_new.unionByName(suspects)
+
+
+def q_crawl_dedup(spark: Any, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup as a gate row: the 'previous crawl' is the
+    doc_id % 3 == 0 slice of documents; the anti-join keeps exactly the
+    rows whose text the previous crawl never saw.  Exercises the full
+    operator — distributed CQF build of the seen set, broadcast scan-side
+    probe, definitely-new fast path, exact anti-join of the suspects."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seen = docs.where(F.col("doc_id") % 3 == 0).select("text")
+    return sketch_anti_join(docs, seen, "text").select("doc_id")
+
+
+SKETCH_JOIN_ORACLES: dict[str, str] = {
+    "cqf_crawl_dedup": (
+        "SELECT doc_id FROM documents WHERE text NOT IN "
+        "(SELECT text FROM documents WHERE doc_id % 3 = 0)"
+    ),
+}
+
+SKETCH_JOIN_QUERIES = {"cqf_crawl_dedup": q_crawl_dedup}
 
 
 def sketch_inner_join(

@@ -182,6 +182,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + language ID in ONE select over one scan (they share
+    the doc_id grain, so the gate carries them as a single row — the
+    driver's correctness gate caps at 50 queries; see __spark_entry__).
+    The composition is also the plan a real pipeline wants: every
+    per-document feature from the same Project, no joins."""
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)).alias(
+            "bpeish_units"
+        ),
+        lang_pred_expr("text").alias("pred_lang"),
+    )
+
+
 def _lang_id_oracle() -> str:
     score = {
         lg: (
@@ -356,8 +373,7 @@ _FINGERPRINT_ORACLE = (
 
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_scores": q_text_quality,
-    "text_token_counts": q_token_counts,
-    "text_lang_id": q_lang_id,
+    "text_doc_profile": q_doc_profile,
     "text_fingerprints": q_fingerprints,
 }
 
@@ -386,11 +402,12 @@ TEXT_ORACLES: dict[str, str] = {
         "CASE WHEN len(bg) > 0 THEN ROUND(tbc * 1.0 / len(bg), 4) "
         "ELSE 0.0 END AS top_bigram_frac FROM c"
     ),
-    "text_token_counts": (
-        "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
-        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) "
-        "AS bpeish_units FROM documents"
+    "text_doc_profile": (
+        "WITH lid AS (" + _lang_id_oracle() + ") "
+        "SELECT d.doc_id, len(string_split(d.text, ' ')) AS ws_tokens, "
+        "len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) "
+        "AS bpeish_units, lid.pred_lang "
+        "FROM documents d JOIN lid USING (doc_id)"
     ),
-    "text_lang_id": _lang_id_oracle(),
     "text_fingerprints": _FINGERPRINT_ORACLE,
 }

@@ -82,6 +82,23 @@ def q_pages_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages per host AND pages per epoch-day as one gate row (both
+    sketch-counted with their own CQF — string keys for hosts, int keys
+    for days — union-shaped so the two dimension counts share a slot
+    under the driver gate's 50-row cap; see __spark_entry__)."""
+    hosts = q_url_host_counts(spark, sf_dir).select(
+        F.concat(F.lit("host:"), F.col("host")).alias("key"), "approx_count"
+    )
+    days = q_pages_per_day(spark, sf_dir).select(
+        F.concat(F.lit("day:"), F.col("epoch_day").cast("string")).alias(
+            "key"
+        ),
+        "approx_count",
+    )
+    return hosts.unionByName(days)
+
+
 def q_url_trigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL character-trigram frequencies via CQF — the north star's "url
     n-gram stream".  Gram explosion is a pure codegen expression
@@ -147,10 +164,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEBTEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtext_extract_identity": q_extract_identity,
     "webtext_bigram_multiplicity": q_bigram_multiplicity,
-    "webtext_url_host_counts": q_url_host_counts,
+    "webtext_page_stats": q_page_stats,
     "webtext_url_trigram_multiplicity": q_url_trigram_multiplicity,
     "webtext_url_canonicalize": q_url_canonicalize,
-    "webtext_pages_per_day": q_pages_per_day,
 }
 
 WEBTEXT_ORACLES: dict[str, str] = {
@@ -162,9 +178,13 @@ WEBTEXT_ORACLES: dict[str, str] = {
         "FROM (SELECT string_split(text, ' ') AS l FROM documents)"
         ") GROUP BY ngram"
     ),
-    "webtext_url_host_counts": (
-        "SELECT source || '.example.org' AS host, COUNT(*) AS approx_count "
-        "FROM documents GROUP BY source"
+    "webtext_page_stats": (
+        "SELECT 'host:' || source || '.example.org' AS key, "
+        "COUNT(*) AS approx_count FROM documents GROUP BY source "
+        "UNION ALL "
+        "SELECT 'day:' || CAST(FLOOR((1700000000 + doc_id * 97) / 86400) "
+        "AS BIGINT) AS key, COUNT(*) AS approx_count FROM documents "
+        "GROUP BY FLOOR((1700000000 + doc_id * 97) / 86400)"
     ),
     "webtext_url_trigram_multiplicity": (
         "SELECT ngram, COUNT(*) AS approx_count FROM ("
@@ -172,11 +192,6 @@ WEBTEXT_ORACLES: dict[str, str] = {
         "i -> substring(u, i, 3))) AS ngram FROM ("
         "SELECT 'https://' || source || '.example.org/page-' || doc_id "
         "|| '.html' AS u FROM documents)) GROUP BY ngram"
-    ),
-    "webtext_pages_per_day": (
-        "SELECT CAST(FLOOR((1700000000 + doc_id * 97) / 86400) AS BIGINT) "
-        "AS epoch_day, COUNT(*) AS approx_count FROM documents "
-        "GROUP BY epoch_day"
     ),
     "webtext_url_canonicalize": (
         "SELECT doc_id, CAST(doc_id % 6 AS INT) AS variant, "
