@@ -79,7 +79,12 @@ def main() -> None:
         "cqf_multiplicity_partkey",
         "cqf_membership_custkey",
         "cqf_merge_union_counts",
-        "cqf_inner_product_events",
+        # r5: intersect + inner-product consolidated into one gate row;
+        # strictly MORE work than r1-r4's cqf_inner_product_events line
+        # (three grouped sketch builds instead of two, plus the
+        # intersect decode), so round-over-round comparisons are
+        # conservative
+        "cqf_set_algebra_events",
         "cqf_heavy_hitters_tokens",
     ]
     try:

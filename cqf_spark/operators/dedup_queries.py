@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     exact_jaccard_pairs_filtered,
+    exact_substring_spans,
     minhash_dedup_pairs,
     simhash_pairs,
     simhash_signatures,
@@ -39,6 +40,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("copies")
     ).select("keep_id", "copies")
+
+
+_SUBSTR_K = 8
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr spans over a corpus with PLANTED duplicated runs:
+    every doc whose id is not a multiple of 10 appends the first 12
+    tokens of its decade's base doc, so the 8-token windows inside the
+    appended run duplicate the base doc's opening windows (and each
+    other's) while boundary windows stay unique.  The oracle recomputes
+    the window/first-occurrence/span-merge semantics in plain SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    firsts = docs.select(
+        F.col("doc_id").alias("bid"),
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias(
+            "plant"
+        ),
+    )
+    planted = docs.join(
+        firsts,
+        (F.col("doc_id") - F.col("doc_id") % 10) == F.col("bid"),
+        "left_outer",
+    ).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 != 0) & F.col("plant").isNotNull(),
+            F.concat_ws(" ", "text", "plant"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return exact_substring_spans(planted, k=_SUBSTR_K)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,6 +169,7 @@ SELECT i, j, ROUND(jac, 6) AS jac FROM (
 
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_text": q_dedup_exact,
+    "dedup_exact_substring": q_dedup_exact_substring,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -147,6 +182,52 @@ DEDUP_ORACLES: dict[str, str] = {
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies "
         "FROM corpus GROUP BY text"
     ),
+    "dedup_exact_substring": f"""
+WITH firsts AS (
+  SELECT doc_id AS bid,
+         array_to_string((string_split(text, ' '))[1:12], ' ') AS plant
+  FROM documents
+),
+planted AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 10 <> 0 AND f.plant IS NOT NULL
+              THEN b.text || ' ' || f.plant
+              ELSE b.text END AS text
+  FROM documents b LEFT JOIN firsts f ON b.doc_id - b.doc_id % 10 = f.bid
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + {_SUBSTR_K} - 1], ' ') AS g
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - {_SUBSTR_K} + 1, 0) + 1))
+             AS i
+    FROM t
+  )
+),
+occ AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY g) AS cnt,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM w
+),
+dups AS (SELECT doc_id, pos FROM occ WHERE cnt > 1 AND rn > 1),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SUBSTR_K} THEN 0 ELSE 1 END AS newisl
+  FROM dups
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {_SUBSTR_K} AS span_end
+FROM isl GROUP BY doc_id, island
+""",
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
     "dedup_simhash": (

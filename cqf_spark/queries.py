@@ -231,6 +231,21 @@ def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(u),) for u in users], "user_id long")
 
 
+def q_set_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qf_intersect (src/gqf.c:2583) + qf_inner_product (src/gqf.c:2547)
+    as one gate row (driver gate caps at 50 queries; see
+    __spark_entry__): ('intersect_user', user_id) rows for users present
+    in both event streams, plus one ('inner_product', ip) row — both
+    operators stay fully value-checked."""
+    inter = q_intersect_users(spark, sf_dir).select(
+        F.lit("intersect_user").alias("kind"), F.col("user_id").alias("val")
+    )
+    ip = q_inner_product_events(spark, sf_dir).select(
+        F.lit("inner_product").alias("kind"), F.col("ip").alias("val")
+    )
+    return inter.unionByName(ip)
+
+
 def q_merge_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qf_merge as multiset UNION ALL (src/gqf.c:2432): counts from two
     disjoint builds add up to the whole-table counts."""
@@ -600,8 +615,7 @@ SKETCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cqf_heavy_hitters_tokens": q_heavy_hitters_tokens,
     "cqf_kv_store_lang": q_kv_store_lang,
     "cqf_sketch_metadata": q_sketch_metadata,
-    "cqf_inner_product_events": q_inner_product_events,
-    "cqf_intersect_users": q_intersect_users,
+    "cqf_set_algebra_events": q_set_algebra_events,
     "cqf_merge_union_counts": q_merge_union_counts,
     "cqf_distributed_delete": q_distributed_delete,
     "cqf_zipf_skew": q_zipf_skew,
@@ -655,18 +669,18 @@ SKETCH_ORACLES: dict[str, str] = {
         "SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey"
         ") ORDER BY cnt DESC, l_partkey ASC LIMIT 25"
     ),
-    "cqf_inner_product_events": (
-        "WITH a AS (SELECT user_id, COUNT(*) AS c FROM events "
-        "WHERE event_type = 'click' GROUP BY user_id), "
-        "b AS (SELECT user_id, COUNT(*) AS c FROM events "
-        "WHERE event_type = 'view' GROUP BY user_id) "
-        "SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS ip "
-        "FROM a JOIN b USING (user_id)"
-    ),
-    "cqf_intersect_users": (
+    "cqf_set_algebra_events": (
+        "SELECT 'intersect_user' AS kind, user_id AS val FROM ("
         "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
         "INTERSECT "
         "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+        ") UNION ALL "
+        "SELECT 'inner_product' AS kind, CAST(COALESCE(SUM(a.c * b.c), 0) "
+        "AS BIGINT) AS val FROM "
+        "(SELECT user_id, COUNT(*) AS c FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id) a JOIN "
+        "(SELECT user_id, COUNT(*) AS c FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id) b USING (user_id)"
     ),
     "cqf_merge_union_counts": (
         "SELECT l_suppkey, COUNT(*) AS approx_count FROM lineitem GROUP BY l_suppkey"

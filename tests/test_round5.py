@@ -464,3 +464,50 @@ def test_snapshot_incremental_dedup_persisted_sketch(spark, sf_dir, tmp_path):
     # the recrawls really were removed and the new day really survived
     assert len(want) < new.count()
     assert len(want) > 0
+
+
+# --------------------------------------------------------------------- #
+# ExactSubstr duplicated-span detection (operators/dedup.py)
+# --------------------------------------------------------------------- #
+
+def test_exact_substring_spans_hand_case(spark):
+    """Hand-computed case: k=3, doc 1 repeats doc 0's opening trigram
+    twice (overlapping occurrences merge into one span), doc 2 is clean,
+    doc 3 is too short to window."""
+    from cqf_spark.operators.dedup import exact_substring_spans
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),          # canonical first for 'a b c'
+            (1, "x a b c a b c y"),    # 'a b c' at pos 1 and 4 -> one span
+            (2, "p q r s t"),          # unique windows only
+            (3, "u v"),                # shorter than k
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(docs, k=3).collect()
+    }
+    # doc 1: dup windows start at 1 and 4; 4-1 <= 3 merges -> [1, 7)
+    assert got == {(1, 1, 7)}
+
+
+def test_exact_substring_spans_cross_doc_canonical_first(spark):
+    """The smallest (doc, pos) occurrence is canonical and never marked;
+    every later occurrence is, including within the same document."""
+    from cqf_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [
+            (10, "m n o m n o"),   # pos 0 canonical, pos 3 dup -> [3, 6)
+            (20, "z z m n o z"),   # pos 2 dup of doc 10 pos 0 -> [2, 5)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(docs, k=3).collect()
+    }
+    assert got == {(10, 3, 6), (20, 2, 5)}
