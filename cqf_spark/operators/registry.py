@@ -27,6 +27,7 @@ from .curation import CURATION_ORACLES, CURATION_QUERIES
 from .decontam import DECONTAM_ORACLES, DECONTAM_QUERIES
 from .dedup_queries import DEDUP_ORACLES, DEDUP_QUERIES
 from .multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
+from .sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from .sketch_family_queries import FAMILY_ORACLES, FAMILY_QUERIES
 from .sketch_join import SKETCH_JOIN_ORACLES, SKETCH_JOIN_QUERIES
 from .text_queries import TEXT_ORACLES, TEXT_QUERIES
@@ -41,6 +42,7 @@ for _q, _o in [
     (DEDUP_QUERIES, DEDUP_ORACLES),
     (SKETCH_JOIN_QUERIES, SKETCH_JOIN_ORACLES),
     (CORPUS_QUERIES, CORPUS_ORACLES),
+    (SAMPLING_QUERIES, SAMPLING_ORACLES),
     (DECONTAM_QUERIES, DECONTAM_ORACLES),
     (TEXT_QUERIES, TEXT_ORACLES),
     (ANN_QUERIES, ANN_ORACLES),

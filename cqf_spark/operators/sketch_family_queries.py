@@ -169,6 +169,24 @@ def q_kll_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count and Bloom membership gates union-shaped into
+    one row set (driver gate caps at 50 queries — see __spark_entry__):
+    ('hll_ndistinct', exact_nd, within_3sigma) and
+    ('bloom', false_negatives, fp_rate_ok) — both stay value-checked."""
+    hll = q_hll_ndistinct(spark, sf_dir).select(
+        F.lit("hll_ndistinct").alias("gate"),
+        F.col("exact_nd").alias("val"),
+        F.col("within_3sigma").alias("ok"),
+    )
+    bloom = q_bloom_membership(spark, sf_dir).select(
+        F.lit("bloom").alias("gate"),
+        F.col("false_negatives").alias("val"),
+        F.col("fp_rate_ok").alias("ok"),
+    )
+    return hll.unionByName(bloom)
+
+
 def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest (events.value) and KLL (lineitem.l_extendedprice) rank-
     error gates union-shaped into one row set (same (q, ok) grain; the
@@ -183,23 +201,22 @@ def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FAMILY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "hll_ndistinct_partkey": q_hll_ndistinct,
+    "filter_sketch_gates": q_filter_sketch_gates,
     "cm_counts_suppkey": q_cm_counts,
-    "bloom_membership_custkey": q_bloom_membership,
     "quantile_sketches": q_quantile_sketches,
 }
 
 FAMILY_ORACLES: dict[str, str] = {
-    "hll_ndistinct_partkey": (
-        "SELECT COUNT(DISTINCT l_partkey) AS exact_nd, TRUE AS within_3sigma "
-        "FROM lineitem"
+    "filter_sketch_gates": (
+        "SELECT 'hll_ndistinct' AS gate, "
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS val, "
+        "TRUE AS ok FROM lineitem "
+        "UNION ALL "
+        "SELECT 'bloom' AS gate, CAST(0 AS BIGINT) AS val, TRUE AS ok"
     ),
     "cm_counts_suppkey": (
         "SELECT l_suppkey, COUNT(*) AS exact_count, TRUE AS lower_ok, "
         "TRUE AS upper_ok FROM lineitem GROUP BY l_suppkey"
-    ),
-    "bloom_membership_custkey": (
-        "SELECT CAST(0 AS BIGINT) AS false_negatives, TRUE AS fp_rate_ok"
     ),
     "quantile_sketches": (
         "SELECT s AS sketch, CAST(q AS DOUBLE) AS q, TRUE AS rank_err_ok "

@@ -511,3 +511,56 @@ def test_exact_substring_spans_cross_doc_canonical_first(spark):
         for r in exact_substring_spans(docs, k=3).collect()
     }
     assert got == {(10, 3, 6), (20, 2, 5)}
+
+
+# --------------------------------------------------------------------- #
+# deterministic split + stratified sampling (operators/sampling.py)
+# --------------------------------------------------------------------- #
+
+def test_split_proportions_and_determinism(spark):
+    from cqf_spark.operators.sampling import train_val_test_split
+    from pyspark.sql import functions as F
+
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    out = train_val_test_split(docs, weights=(0.8, 0.1, 0.1), salt="s")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = 20_000
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+    # determinism: same salt -> identical assignment; partitioning-free
+    again = train_val_test_split(
+        docs.repartition(7), weights=(0.8, 0.1, 0.1), salt="s"
+    )
+    assert out.exceptAll(again).count() == 0
+    # a different salt reshuffles assignments
+    other = train_val_test_split(docs, weights=(0.8, 0.1, 0.1), salt="t")
+    moved = out.join(other.withColumnRenamed("split", "split2"), "doc_id") \
+        .where("split != split2").count()
+    assert moved > 1000
+
+
+def test_stratified_sample_rate_per_stratum(spark):
+    from cqf_spark.operators.sampling import stratified_sample
+    from pyspark.sql import functions as F
+
+    # skewed strata: 'big' has 19x the rows of 'small'
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 20 == 0, "small").otherwise("big").alias("lang"),
+    )
+    kept = stratified_sample(docs, 0.25, strata_col="lang", salt="s")
+    rates = {
+        r["lang"]: r["k"] / r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n"))
+        .join(
+            kept.groupBy("lang").agg(F.count("*").alias("k")), "lang"
+        ).collect()
+    }
+    # every stratum sampled at ~25% despite the 19x size skew
+    assert abs(rates["big"] - 0.25) < 0.02
+    assert abs(rates["small"] - 0.25) < 0.05
+    # reproducible row-by-row
+    again = stratified_sample(docs, 0.25, strata_col="lang", salt="s")
+    assert kept.exceptAll(again).count() == 0
