@@ -118,24 +118,31 @@ def main() -> None:
         _warm, "n long"
     ).agg({"n": "sum"}).collect()
 
-    # Each query runs TRIALS times; the per-query number is the best
-    # (steady-state) wall — the min is the least host-steal-contaminated
-    # estimate on this VM (see BENCH.md "environment caveats").  3 trials
+    # Each query runs to STEADY STATE; the per-query number is the best
+    # wall — the min is the least host-steal-contaminated estimate on
+    # this VM (see BENCH.md "environment caveats").  At least 3 trials
     # because the heavier pipelines (webtext bigram) reach steady state on
     # the third pass (first pass pays page-fault warmup of fresh
-    # cache/shuffle buffers; measured 4.9 -> 2.0 -> 1.3 s).
-    TRIALS = 3
+    # cache/shuffle buffers; measured 4.9 -> 2.0 -> 1.3 s); while a trial
+    # still improves on the best by >10% the query has not plateaued
+    # (warm-up or a throttle burst mid-trial), so up to 2 extra trials
+    # run — bounded, and only spent where the signal says it is needed.
+    TRIALS, MAX_TRIALS = 3, 5
     registry = all_queries()
     timings: dict[str, float] = {}
     for name in headline:
         fn = registry[name]
         best = float("inf")
-        for _ in range(TRIALS):
+        t = 0
+        while t < TRIALS or (t < MAX_TRIALS and improved):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
-            best = min(best, time.time() - t0)
+            wall = time.time() - t0
+            improved = wall < best * 0.9
+            best = min(best, wall)
             assert n >= 0
+            t += 1
         timings[name] = round(best, 3)
 
     # -- reference-style core metrics (bm.c analog) over the TOKEN stream

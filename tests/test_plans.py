@@ -193,3 +193,59 @@ def test_quality_scores_single_project_no_shuffle(spark, sf_dir):
     schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" in schema_line and "doc_id" in schema_line
     assert "lang" not in schema_line  # untouched column pruned
+
+
+def test_split_and_sample_are_shuffle_free_projects(spark, sf_dir):
+    """The reproducibility primitives must stay one codegen stage: no
+    Exchange, no Python, and the scan pruned to the consumed columns."""
+    from cqf_spark.operators.sampling import (
+        stratified_sample,
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    for df in (
+        train_val_test_split(docs),
+        stratified_sample(docs, 0.25, strata_col="lang"),
+    ):
+        plan = _plan(df, spark)
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+        schema_line = next(
+            l for l in plan.splitlines() if "ReadSchema" in l
+        )
+        assert "text" not in schema_line  # wide column never read
+
+
+def test_exact_substring_exchange_carries_no_window_text(spark, sf_dir):
+    """ExactSubstr's one wide exchange is the fingerprint groupBy: the
+    k-token window STRINGS must be projected away before any Exchange —
+    only (id, pos, h1, h2) ride the shuffle."""
+    from cqf_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(exact_substring_spans(docs, k=8), spark)
+    lines = plan.splitlines()
+    # formatted explain details each node as "(id) Exchange" followed by
+    # "Input [n]: [cols...]" / "Arguments: ..." — collect those blocks
+    blocks, cur = [], None
+    for l in lines:
+        s = l.strip()
+        if s.startswith("(") and ") " in s:
+            cur = [s] if s.split(") ", 1)[1].startswith("Exchange") else None
+            if cur is not None:
+                blocks.append(cur)
+        elif cur is not None and s:
+            cur.append(s)
+    assert blocks, plan
+    schema_blobs = [
+        " ".join(l for l in b if l.startswith(("Input", "Arguments")))
+        for b in blocks
+    ]
+    assert all(sb for sb in schema_blobs), plan  # details really captured
+    for sb in schema_blobs:
+        assert "_w" not in sb, sb  # the window string column never rides
