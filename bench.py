@@ -31,6 +31,11 @@ import cqf_spark  # noqa: F401  (sets malloc retention env before the JVM forks 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# soft deadline for the OPTIONAL extra measurements (adaptive 4th/5th
+# trials, the interleaved re-sweep): past this many seconds of total
+# wall they are skipped so a throttled host can never push the run into
+# a harness timeout — the mandatory 3-trial capture always completes
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 
 
 def make_spark(cores: int):
@@ -134,7 +139,9 @@ def main() -> None:
         fn = registry[name]
         best = float("inf")
         t = 0
-        while t < TRIALS or (t < MAX_TRIALS and improved):
+        while t < TRIALS or (
+            t < MAX_TRIALS and improved and time.time() - t_all < BENCH_BUDGET_S
+        ):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -144,6 +151,19 @@ def main() -> None:
             assert n >= 0
             t += 1
         timings[name] = round(best, 3)
+    # One extra INTERLEAVED sweep: this host grants full CPU in bursts on
+    # a ~2-3 min cadence (measured: steal 30% -> 2% -> 30% under a
+    # sustained 32-core load), so a query whose trial block landed inside
+    # a burst stays contaminated no matter how many back-to-back trials
+    # it gets.  A second single-trial pass minutes later samples a
+    # different host window for every query — the same interleaved
+    # best-of discipline scaling_bench.py uses.
+    for name in headline:
+        if time.time() - t_all >= BENCH_BUDGET_S:
+            break
+        t0 = time.time()
+        registry[name](spark, SF_DIR).count()
+        timings[name] = min(timings[name], round(time.time() - t0, 3))
 
     # -- reference-style core metrics (bm.c analog) over the TOKEN stream
     # (string keys — the hot path): insert+merge throughput then
