@@ -419,11 +419,20 @@ def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (video) + resize planning (image) union-shaped into
-    one gate row (driver gate caps at 50 queries; see __spark_entry__):
-    (media_id, kind, v1..v4) with -1 filling the unused slots of frame
-    rows — both operators stay fully value-checked."""
+    """Feature extraction + frame sampling (video) + resize planning
+    (image) union-shaped into one gate row (driver gate caps at 50
+    queries; see __spark_entry__): (media_id, kind, v1..v4) with -1
+    filling unused slots — all three operators stay fully value-checked
+    (feature rows carry the media type inside ``kind``)."""
     media = synth_media(spark, sf_dir)
+    feats = extract_features(media).select(
+        "media_id",
+        F.concat(F.lit("features:"), F.col("media_type")).alias("kind"),
+        F.col("size_bytes").cast("long").alias("v1"),
+        F.col("feat_dim").cast("long").alias("v2"),
+        F.lit(-1).cast("long").alias("v3"),
+        F.lit(-1).cast("long").alias("v4"),
+    )
     frames = sample_frames(media, every_nth=5).select(
         "media_id",
         F.lit("frame").alias("kind"),
@@ -440,7 +449,7 @@ def q_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("out_w").cast("long").alias("v3"),
         F.col("out_h").cast("long").alias("v4"),
     )
-    return frames.unionByName(resize)
+    return feats.unionByName(frames).unionByName(resize)
 
 
 _SIZE_SQL = """
@@ -480,19 +489,19 @@ FROM page
 """
 
 MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "media_features": q_media_features,
     "media_plan": q_media_plan,
 }
 
 MULTIMODAL_ORACLES: dict[str, str] = {
-    "media_features": (
-        f"WITH m AS ({_SIZE_SQL}) SELECT media_id, media_type, size_bytes, "
-        "CAST(CASE media_type WHEN 'image' THEN (16 + size_bytes % 64) * "
-        "(16 + (size_bytes * 7) % 64) * 3 WHEN 'audio' THEN size_bytes "
-        "ELSE n_frames END AS BIGINT) AS feat_dim FROM m"
-    ),
     "media_plan": (
         f"WITH m AS ({_SIZE_SQL}) "
+        "SELECT media_id, 'features:' || media_type AS kind, "
+        "CAST(size_bytes AS BIGINT) AS v1, "
+        "CAST(CASE media_type WHEN 'image' THEN (16 + size_bytes % 64) * "
+        "(16 + (size_bytes * 7) % 64) * 3 WHEN 'audio' THEN size_bytes "
+        "ELSE n_frames END AS BIGINT) AS v2, "
+        "CAST(-1 AS BIGINT) AS v3, CAST(-1 AS BIGINT) AS v4 FROM m "
+        "UNION ALL "
         "SELECT media_id, 'frame' AS kind, "
         "CAST(unnest(list_filter(range(0, n_frames), i -> i % 5 = 0)) "
         "AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2, "

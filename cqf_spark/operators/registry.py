@@ -26,6 +26,7 @@ from .corpus_queries import CORPUS_ORACLES, CORPUS_QUERIES
 from .curation import CURATION_ORACLES, CURATION_QUERIES
 from .decontam import DECONTAM_ORACLES, DECONTAM_QUERIES
 from .dedup_queries import DEDUP_ORACLES, DEDUP_QUERIES
+from .lm_quality import LM_QUALITY_ORACLES, LM_QUALITY_QUERIES
 from .multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
 from .sampling import SAMPLING_ORACLES, SAMPLING_QUERIES
 from .sketch_family_queries import FAMILY_ORACLES, FAMILY_QUERIES
@@ -44,6 +45,7 @@ for _q, _o in [
     (CORPUS_QUERIES, CORPUS_ORACLES),
     (SAMPLING_QUERIES, SAMPLING_ORACLES),
     (DECONTAM_QUERIES, DECONTAM_ORACLES),
+    (LM_QUALITY_QUERIES, LM_QUALITY_ORACLES),
     (TEXT_QUERIES, TEXT_ORACLES),
     (ANN_QUERIES, ANN_ORACLES),
     (FAMILY_QUERIES, FAMILY_ORACLES),

@@ -564,3 +564,31 @@ def test_stratified_sample_rate_per_stratum(spark):
     # reproducible row-by-row
     again = stratified_sample(docs, 0.25, strata_col="lang", salt="s")
     assert kept.exceptAll(again).count() == 0
+
+
+# --------------------------------------------------------------------- #
+# CQF n-gram LM quality scoring (operators/lm_quality.py)
+# --------------------------------------------------------------------- #
+
+def test_ngram_lm_scores_separate_in_domain_from_noise(spark):
+    from cqf_spark.operators.lm_quality import ngram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),        # fully in-domain
+            (101, "zq xv qqj wpl zzt mnb"),            # all grams unseen
+            (102, "x"),                                # too short for n=2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_scores(corpus, ref, n=2).collect()}
+    # in-domain doc: every bigram was seen 8 times -> score ln(9)
+    import math
+    assert abs(rows[100]["lm_score"] - round(math.log(9), 4)) < 1e-9
+    assert rows[101]["lm_score"] == 0.0 and rows[101]["n_grams"] == 5
+    assert rows[102]["lm_score"] == 0.0 and rows[102]["n_grams"] == 0
+    assert rows[100]["lm_score"] > rows[101]["lm_score"]
