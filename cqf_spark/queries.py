@@ -236,14 +236,34 @@ def q_set_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one gate row (driver gate caps at 50 queries; see
     __spark_entry__): ('intersect_user', user_id) rows for users present
     in both event streams, plus one ('inner_product', ip) row — both
-    operators stay fully value-checked."""
-    inter = q_intersect_users(spark, sf_dir).select(
-        F.lit("intersect_user").alias("kind"), F.col("user_id").alias("val")
+    operators stay fully value-checked.  All THREE per-type sketches
+    (click/purchase/view) come from ONE grouped-build scan of events —
+    the plan the standalone q_intersect_users/q_inner_product_events
+    pair would pay three scans for."""
+    from .aggregator import build_sketches_grouped
+    from .core import Cqf
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase", "view")
     )
-    ip = q_inner_product_events(spark, sf_dir).select(
-        F.lit("inner_product").alias("kind"), F.col("ip").alias("val")
+    sketches = {
+        r["group"]: Cqf.from_bytes(bytes(r["sketch"]))
+        for r in build_sketches_grouped(
+            ev, "event_type", "user_id", INT_CONFIG
+        ).collect()
+    }
+    inter = sketches["click"].intersect(sketches["purchase"])
+    kh, _, _ = inter.items()
+    users = np.sort(unhash_keys(kh, INT_CONFIG).astype(np.int64)).tolist()
+    ip = (
+        sketches["click"].inner_product(sketches["view"])
+        if "view" in sketches
+        else 0
     )
-    return inter.unionByName(ip)
+    rows = [("intersect_user", int(u)) for u in users] + [
+        ("inner_product", int(ip))
+    ]
+    return spark.createDataFrame(rows, "kind string, val long")
 
 
 def q_merge_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
