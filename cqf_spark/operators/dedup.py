@@ -273,6 +273,46 @@ def exact_substring_spans(
     )
 
 
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`exact_substring_spans` output: remove every token
+    whose index falls inside one of the document's spans and reassemble
+    the text (the Lee et al. cut step).  Documents without spans pass
+    through untouched.
+
+    Scale shape: spans aggregate to ONE array per affected document
+    (span count per doc is small by construction — they are merged
+    intervals), one left join, and the cut itself is a codegen
+    filter-by-position over the token array — no Python."""
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    keep = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s.i >= sp.span_start) & (s.i < sp.span_end),
+        ),
+    )
+    cut = F.array_join(F.transform(keep, lambda s: s.t), " ")
+    return docs.join(agg, id_col, "left_outer").select(
+        *[c for c in docs.columns if c != text_col],
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(cut)
+        .alias(text_col),
+    )
+
+
 def exact_jaccard_pairs_filtered(
     docs: DataFrame,
     id_col: str = "doc_id",

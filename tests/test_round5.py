@@ -592,3 +592,27 @@ def test_ngram_lm_scores_separate_in_domain_from_noise(spark):
     assert rows[101]["lm_score"] == 0.0 and rows[101]["n_grams"] == 5
     assert rows[102]["lm_score"] == 0.0 and rows[102]["n_grams"] == 0
     assert rows[100]["lm_score"] > rows[101]["lm_score"]
+
+
+def test_cut_spans_removes_exactly_the_duplicated_tokens(spark):
+    from cqf_spark.operators.dedup import cut_spans, exact_substring_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "x a b c a b c y"),   # span [1,7) from the k=3 dup test
+            (2, "p q r s t"),         # untouched (no spans)
+        ],
+        "doc_id long, text string",
+    )
+    spans = exact_substring_spans(docs, k=3)
+    out = {r["doc_id"]: r["text"] for r in cut_spans(docs, spans).collect()}
+    assert out[0] == "a b c d e"      # canonical occurrence survives
+    assert out[1] == "x y"            # tokens 1..6 cut
+    assert out[2] == "p q r s t"
+    # end-to-end invariant: re-running span detection on the cut corpus
+    # finds nothing left to cut
+    cut_docs = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id long, text string"
+    )
+    assert exact_substring_spans(cut_docs, k=3).count() == 0
