@@ -249,3 +249,29 @@ def test_exact_substring_exchange_carries_no_window_text(spark, sf_dir):
     assert all(sb for sb in schema_blobs), plan  # details really captured
     for sb in schema_blobs:
         assert "_w" not in sb, sb  # the window string column never rides
+
+
+def test_lm_quality_probe_below_single_exchange(spark, sf_dir):
+    """The LM probe must run scan-side: grams explode, Arrow-probe, and
+    PARTIAL-aggregate before the plan's only Exchange — the shuffle
+    carries (id, count, sum) rows, never a gram string."""
+    from cqf_spark.operators.lm_quality import q_ngram_lm_quality
+
+    plan = _plan(q_ngram_lm_quality(spark, sf_dir), spark)
+    assert plan.count(") Exchange") == 1, plan
+    lines = plan.splitlines()
+    # order in the tree rendering: probe and partial agg BELOW exchange
+    tree = [l for l in lines if "+-" in l or "Adaptive" in l]
+    order = {
+        k: next(i for i, l in enumerate(tree) if k in l)
+        for k in ("Exchange", "ArrowEvalPython")
+    }
+    assert order["ArrowEvalPython"] > order["Exchange"]  # deeper = later
+    assert "partial_count" in plan and "partial_sum" in plan
+    # the exchange's input schema carries no gram column
+    ex_input = next(
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if l.strip().endswith("Exchange") and lines[i + 1].startswith("Input")
+    )
+    assert "_g" not in ex_input, ex_input
