@@ -43,24 +43,49 @@ def ngram_lm_scores(
     text_col: str = "text",
     n: int = 2,
     config: CqfConfig | None = None,
+    sharded: bool = False,
+    n_shards: int = 16,
 ) -> DataFrame:
     """Per document: (id_col, n_grams, sum_log1p_count, lm_score) where
     lm_score = mean over the document's gram OCCURRENCES of
     ln(1 + train_count(gram)) — 0.0 for docs shorter than n tokens.
     Higher = more typical of the reference corpus; filter low scores as
-    gibberish/boilerplate, or high ones for in-domain selection."""
+    gibberish/boilerplate, or high ones for in-domain selection.
+
+    ``sharded=True`` is the beyond-broadcast regime (reference LM too big
+    for one executor-resident blob): the LM lives in a ``ShardedCqf`` and
+    distinct grams are answered through ``count_join`` — probe exchange
+    carries (key, shard, salt) only — then joined back onto the gram
+    stream.  Scores are identical to the broadcast path (unit-proven)."""
     grams = reference.select(
         F.explode(ngrams_expr(n, text_col)).alias("_g")
     )
-    sketch = cqf_aggregate(grams, "_g", config or CqfConfig(key_bits=48, seed=31))
+    config = config or CqfConfig(key_bits=48, seed=31)
     spark = corpus.sparkSession
     doc_grams = corpus.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(ngrams_expr(n, text_col)).alias("_g"),
     )
-    counted = doc_grams.withColumn(
-        "_c", count_udf(spark, sketch)(F.col("_g"))
-    )
+    if sharded:
+        from ..sharded import ShardedCqf
+
+        # persist=False: the LM sketch is consumed exactly once (by the
+        # cogroup below), so the caller-owned cache would only leak
+        lm = ShardedCqf.aggregate(
+            grams, "_g", config, n_shards=n_shards, persist=False
+        )
+        counts = lm.count_join(
+            doc_grams.where(F.col("_g").isNotNull()).select("_g").distinct(),
+            "_g",
+        ).withColumnRenamed("approx_count", "_c")
+        counted = doc_grams.join(counts, "_g", "left_outer").withColumn(
+            "_c", F.coalesce("_c", F.lit(0))
+        )
+    else:
+        sketch = cqf_aggregate(grams, "_g", config)
+        counted = doc_grams.withColumn(
+            "_c", count_udf(spark, sketch)(F.col("_g"))
+        )
     return (
         counted.groupBy("_id")
         .agg(

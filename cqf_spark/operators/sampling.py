@@ -53,6 +53,7 @@ def train_val_test_split(
     with expected proportions ``weights``.  Stable under reruns, appends,
     and repartitioning (the assignment reads nothing but the key)."""
     assert len(names) == len(weights) and len(names) >= 2
+    assert all(w > 0 for w in weights), "weights must be positive"
     b = _bucket(salt, F.col(key_col).cast("string"))
     expr = F.lit(names[-1])
     for name, thr in reversed(list(zip(names[:-1], _thresholds(weights)))):

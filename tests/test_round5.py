@@ -616,3 +616,23 @@ def test_cut_spans_removes_exactly_the_duplicated_tokens(spark):
         [(k, v) for k, v in out.items()], "doc_id long, text string"
     )
     assert exact_substring_spans(cut_docs, k=3).count() == 0
+
+
+def test_ngram_lm_scores_sharded_parity(spark, sf_dir):
+    """The beyond-broadcast path (ShardedCqf + count_join) must produce
+    byte-identical scores to the broadcast-sketch path."""
+    from cqf_spark.operators.lm_quality import ngram_lm_scores
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    a = ngram_lm_scores(docs, ref, n=2).toPandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    b = ngram_lm_scores(docs, ref, n=2, sharded=True, n_shards=8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["lm_score"] > 0).any()
