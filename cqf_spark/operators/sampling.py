@@ -1,9 +1,10 @@
-"""Deterministic dataset splitting and stratified sampling — the
-reproducibility primitives of a training-data pipeline: every document's
-split/sample fate is a pure function of its key and a salt, so reruns,
-backfills, and incremental crawls land rows in the same bucket with no
-coordination, no RNG state, and no shuffle (both operators are one
-codegen Project over the scan).
+"""Deterministic dataset splitting, stratified sampling, per-group caps
+and domain temperature mixing — the reproducibility primitives of a
+training-data pipeline: every document's split/sample/cap/mix fate is a
+pure function of its key and a salt, so reruns, backfills, and
+incremental crawls land rows in the same bucket with no coordination and
+no RNG state (split/sample/mix are one codegen Project over the scan;
+the per-group cap is one window exchange with a skew-safe prefilter).
 
 The hash is md5's leading 8 hex chars compared as strings (equal-length
 lowercase hex compares identically to its numeric value).  md5 here is a
@@ -80,6 +81,131 @@ def stratified_sample(
         salt, F.col(strata_col).cast("string"), F.col(key_col).cast("string")
     )
     return docs.where(b < thr)
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+    prefilter: bool = False,
+    est_rows_per_group: int | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the per-host cap every crawl
+    pipeline applies so a single spam/mirror host can't dominate the
+    corpus.  Winners are the k rows with the SMALLEST (salt, group, key)
+    hash, i.e. a deterministic uniform-without-replacement sample of k
+    per group: stable under reruns and repartitioning, and — unlike
+    "first k by doc_id" — unbiased w.r.t. crawl order.
+
+    Default path: one ``row_number`` window on ``group_col`` (one
+    exchange).  At 100 TB the window's weakness is skew — a mirror host
+    with 10^8 pages sorts 10^8 rows in ONE task (AQE does not split
+    window partitions).  ``prefilter=True`` enables the sound two-phase
+    variant: a scan-local hash filter first keeps only rows whose bucket
+    falls below ~k/est_rows_per_group (with 4x slack), then the exact
+    window runs over that sliver.  Groups where the prefilter kept fewer
+    than k rows (small groups — the threshold cut into the true top-k)
+    are detected by a cheap count and re-admitted in full, so the result
+    is IDENTICAL to the exact path (parity-tested), while the heavy
+    host's window input drops from n to ~4k rows."""
+    assert k >= 1
+    cols = docs.columns  # joins on a string key reorder columns — restore
+    b = _bucket(
+        salt, F.col(group_col).cast("string"), F.col(key_col).cast("string")
+    )
+    docs = docs.withColumn("_b", b)
+    if prefilter:
+        est = max(int(est_rows_per_group or 0), 1)
+        thr = format(min(_HEX_SPACE - 1, int(4 * k / est * _HEX_SPACE)), "08x")
+        under = docs.where(F.col("_b") < thr)
+        # groups whose under-threshold slice is too small to be safe:
+        # their true k smallest may include rows >= thr -> take them whole.
+        # Counted over the FULL frame (conditional agg), not over `under`:
+        # a group with ZERO under-threshold rows never appears in `under`,
+        # so a groupBy there would silently drop it instead of re-admitting
+        # it.  The agg partial-aggregates map-side — the shuffle carries
+        # one row per (group, partition), not the corpus.
+        unsafe = (
+            docs.groupBy(group_col)
+            .agg(
+                F.sum(
+                    F.when(F.col("_b") < thr, F.lit(1)).otherwise(F.lit(0))
+                ).alias("_u")
+            )
+            .where(F.col("_u") < k)
+            .select(group_col)
+        )
+        survivors = under.join(
+            F.broadcast(unsafe), group_col, "left_anti"
+        ).unionByName(docs.join(F.broadcast(unsafe), group_col, "left_semi"))
+    else:
+        survivors = docs
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy("_b", key_col)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*cols)
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    domain_col: str,
+    temperature: float,
+    target_fraction: float = 1.0,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance the corpus across domains by temperature sampling (the
+    Gopher/DoReMi mixing stage): with per-domain shares p_g, the target
+    mixture is q_g ∝ p_g^temperature — tau < 1 flattens (up-weights rare
+    domains, down-weights the dominant crawl), tau = 1 is identity,
+    tau = 0 is uniform over domains.  Each domain is then kept at rate
+    r_g = min(1, q_g * target_fraction * N / n_g) via the deterministic
+    per-row hash coin, so membership is a pure function of
+    (salt, domain, key) and the realized mixture tracks q_g exactly in
+    expectation.  Domains that would need UP-sampling (r_g > 1) are kept
+    whole — this operator filters, never duplicates.
+
+    Topology: one small groupBy-count (domain cardinality ~ 10^1-10^3),
+    collected to the driver ONLY to compute the rate table (same
+    discipline as k-means' O(k·dim) driver state), then one scan-local
+    hash filter with a literal when-chain — the corpus itself is read
+    once with no shuffle.  Returns docs filtered, plus a ``mix_rate``
+    column recording each row's domain keep-rate for lineage."""
+    assert temperature >= 0.0 and 0.0 < target_fraction <= 1.0
+    counts = {
+        r[domain_col]: r["count"]
+        for r in docs.groupBy(domain_col).count().collect()
+    }
+    n_total = sum(counts.values())
+    weights = {g: (n / n_total) ** temperature for g, n in counts.items()}
+    z = sum(weights.values())
+    rates = {
+        g: min(1.0, (weights[g] / z) * target_fraction * n_total / counts[g])
+        for g in counts
+    }
+    thr = F.lit(None).cast("string")
+    rate_col = F.lit(None).cast("double")
+    for g, r in sorted(rates.items(), key=lambda kv: str(kv[0])):
+        # rate 1.0 keeps ALL rows: "g" sorts above every 8-char hex
+        # string, so the comparison is vacuously true (a numeric clamp to
+        # 0xffffffff would shave off the hash=="ffffffff" sliver).
+        hexthr = (
+            "g" if r >= 1.0
+            else format(int(r * _HEX_SPACE), "08x")
+        )
+        cond = F.col(domain_col) == F.lit(g)
+        thr = F.when(cond, F.lit(hexthr)).otherwise(thr)
+        rate_col = F.when(cond, F.lit(r)).otherwise(rate_col)
+    b = _bucket(
+        salt, F.col(domain_col).cast("string"), F.col(key_col).cast("string")
+    )
+    return docs.withColumn("mix_rate", rate_col).where(b < thr)
 
 
 # --------------------------------------------------------------------- #

@@ -636,3 +636,139 @@ def test_ngram_lm_scores_sharded_parity(spark, sf_dir):
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
     assert (a["lm_score"] > 0).any()
+
+
+# --------------------------------------------------------------------- #
+# domain mixing: per-group caps + temperature rebalancing
+# (operators/sampling.py cap_per_group / temperature_mix)
+# --------------------------------------------------------------------- #
+
+def _mix_docs(spark):
+    """60/25/15-ish skew across three hosts, deterministic keys."""
+    from pyspark.sql import functions as F
+
+    return spark.range(6_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 6, "big.com")
+        .when(F.col("id") % 10 < 9, "mid.org")
+        .otherwise("rare.net")
+        .alias("host"),
+    )
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from cqf_spark.operators.sampling import cap_per_group
+    from pyspark.sql import functions as F
+
+    docs = _mix_docs(spark)
+    capped = cap_per_group(docs, "host", k=50, salt="c")
+    per = {r["host"]: r["n"] for r in
+           capped.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 50 for n in per.values())  # every host has >50 rows
+    assert set(capped.columns) == set(docs.columns)  # helpers dropped
+    # winners are a pure function of (salt, host, doc_id): rerun under a
+    # different partitioning -> identical row set
+    again = cap_per_group(docs.repartition(13), "host", k=50, salt="c")
+    assert capped.exceptAll(again).count() == 0
+    # a group smaller than k survives whole
+    small = docs.where("host = 'rare.net'").limit(7)
+    assert cap_per_group(small, "host", k=50, salt="c").count() == 7
+
+
+def test_cap_per_group_winners_are_smallest_hashes(spark):
+    """The kept rows must be exactly the k smallest md5 buckets per
+    group — recomputed independently with hashlib."""
+    import hashlib
+
+    from cqf_spark.operators.sampling import cap_per_group
+
+    docs = _mix_docs(spark)
+    kept = {
+        (r["host"], r["doc_id"])
+        for r in cap_per_group(docs, "host", k=25, salt="w").collect()
+    }
+    rows = [(r["host"], r["doc_id"]) for r in docs.collect()]
+    by_host: dict = {}
+    for host, did in rows:
+        h = hashlib.md5(f"w|{host}|{did}".encode()).hexdigest()[:8]
+        by_host.setdefault(host, []).append((h, did))
+    expect = set()
+    for host, hs in by_host.items():
+        for _, did in sorted(hs)[:25]:
+            expect.add((host, did))
+    assert kept == expect
+
+
+def test_cap_per_group_prefilter_parity(spark):
+    """The skew-safe two-phase path must return the IDENTICAL row set to
+    the exact window path — including groups small enough that the
+    prefilter threshold cuts into their true top-k (the re-admit path)."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.sampling import cap_per_group
+
+    # a long tail of tiny hosts (~3 rows each) to exercise re-admits
+    tail = spark.range(180).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("tail-"),
+                 (F.col("id") % 61).cast("string")).alias("host"),
+    )
+    docs = _mix_docs(spark).unionByName(tail)
+    exact = cap_per_group(docs, "host", k=20, salt="p")
+    fast = cap_per_group(
+        docs, "host", k=20, salt="p", prefilter=True,
+        est_rows_per_group=2_000,
+    )
+    assert exact.exceptAll(fast).count() == 0
+    assert fast.exceptAll(exact).count() == 0
+
+
+def test_temperature_mix_rates_and_membership(spark):
+    """tau=0 -> uniform target over domains; the realized keep-rates and
+    the per-row membership must match an independent recompute."""
+    import hashlib
+
+    from cqf_spark.operators.sampling import temperature_mix
+
+    docs = _mix_docs(spark)
+    out = temperature_mix(docs, "host", temperature=0.0, salt="m")
+    rows = docs.collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    n = sum(counts.values())
+    # tau=0: every domain targets n/3 rows
+    rates = {g: min(1.0, (n / 3) / c) for g, c in counts.items()}
+    expect = set()
+    for r in rows:
+        rate = rates[r["host"]]
+        thr = "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+        h = hashlib.md5(f"m|{r['host']}|{r['doc_id']}".encode()).hexdigest()[:8]
+        if h < thr:
+            expect.add((r["host"], r["doc_id"]))
+    got = {(r["host"], r["doc_id"]) for r in out.collect()}
+    assert got == expect
+    # the rare domain is kept whole (rate 1.0 -> up-sampling never happens)
+    rare_rate = {r["host"]: r["mix_rate"] for r in
+                 out.select("host", "mix_rate").distinct().collect()}
+    assert rare_rate["rare.net"] == 1.0
+    assert got >= {(r["host"], r["doc_id"]) for r in rows
+                   if r["host"] == "rare.net"}
+    # tau=1, full fraction -> identity (every row kept, all rates 1)
+    ident = temperature_mix(docs, "host", temperature=1.0, salt="m")
+    assert ident.count() == len(rows)
+
+
+def test_mix_plans_are_scan_local(spark):
+    """temperature_mix's corpus pass and the default cap path must keep
+    their promised topology: the mix filter is a scan-local Project
+    (zero Exchange); the cap is exactly ONE Exchange (the window)."""
+    from cqf_spark.operators.sampling import cap_per_group, temperature_mix
+
+    docs = _mix_docs(spark)
+    mix_plan = temperature_mix(docs, "host", 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in mix_plan
+    cap_plan = cap_per_group(docs, "host", k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert cap_plan.count("Exchange") == 1
