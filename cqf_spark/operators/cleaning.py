@@ -1,0 +1,230 @@
+"""Text cleaning stages of a web-corpus pipeline: boilerplate line
+removal (the C4/RefinedWeb "remove lines that recur across many pages"
+rule — nav menus, cookie banners, footers) and PII scrubbing.
+
+Reference scope note: these extend the pipeline surface beyond the
+reference repo (splatlab/cqf has no text stage); the boilerplate rule is
+the line-frequency filter of the C4 and RefinedWeb papers, and it is the
+sketch library eating its own dog food: line document-frequencies live
+in ONE broadcast CQF (qf_count_key_value, src/gqf.c:2112, as the lookup)
+instead of a corpus-wide join.
+
+Topology of ``strip_boilerplate`` at 100 TB:
+
+* build — each document contributes its DISTINCT lines (``array_distinct``
+  inside the row: no exchange), then the standard partition-local CQF
+  build + blob-only tree merge (``cqf_aggregate``).  The sketch therefore
+  holds doc-frequencies, and a cookie banner repeated on 10^9 pages is
+  just one counter — no skewed group ever shuffles.
+* filter — scan-local: one Arrow-batched pandas UDF hashes every line of
+  the batch in ONE flattened numpy pass and probes the broadcast blob,
+  returning only a boolean keep-mask; the surviving text is reassembled
+  JVM-side (``zip_with`` + ``array_join``), so Python never touches the
+  output strings and the whole pass has ZERO exchanges.
+
+The exact DataFrame twin (``_strip_boilerplate_exact``) keeps the
+explode → groupBy(line) → join-back shape as the parity oracle; the
+sketch path equals it except for 48-bit hash collisions (~n²/2⁴⁹ — the
+same discipline as every oracle-matched multiplicity query here).
+
+``scrub_pii`` is pure codegen (regexp_replace / regexp_count chains):
+emails, IPv4s, SSN-formatted ids, then phone-formatted numbers, each
+replaced with a typed tag and counted per row for lineage.
+"""
+
+# NO `from __future__ import annotations` here: it would stringify the
+# pandas_udf type hints pyspark introspects to pick the UDF eval type
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..aggregator import cqf_aggregate
+from ..config import CqfConfig
+
+
+def _lines_expr(text_col: str) -> Column:
+    """Non-empty trimmed lines of ``text_col`` (scan-local array expr)."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def _keep_mask_udf(spark, sketch, threshold: int):
+    """pandas UDF: array<string> lines -> array<boolean> keep-mask
+    (keep = doc-frequency in the broadcast sketch < threshold).  The
+    batch's lines are flattened into one numpy pass — hash + probe are
+    whole-batch ops, never per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, BooleanType
+
+    from ..aggregator import _cached_sketch, ensure_shipped, hash_series
+
+    ensure_shipped(spark)
+    blob = spark.sparkContext.broadcast(sketch.to_bytes())
+    config = sketch.config
+
+    @pandas_udf(ArrayType(BooleanType()))
+    def _mask(lines: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(v, dtype=object) if v is not None else
+            np.empty(0, dtype=object)
+            for v in lines
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        if lens.sum() == 0:
+            return pd.Series([np.empty(0, dtype=bool)] * len(arrs))
+        flat = pd.Series(np.concatenate(arrs))
+        sk = _cached_sketch(blob.value)
+        keep = sk.count_hashes(hash_series(flat, config)) < threshold
+        bounds = np.cumsum(lens)[:-1]
+        return pd.Series(np.split(keep, bounds))
+
+    return _mask
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_docs: int | None = None,
+    min_doc_frac: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CqfConfig | None = None,
+) -> DataFrame:
+    """Remove every line whose document-frequency reaches the threshold
+    (``min_docs`` absolute, or ``min_doc_frac`` of the corpus — exactly
+    one must be given).  Unlike paragraph_dedup (which keeps the first
+    occurrence), boilerplate lines are dropped from ALL documents: a
+    cookie banner's first page is no more content than its billionth.
+
+    Returns (id_col, clean_text, n_lines, n_dropped); the doc-frequency
+    count is per DISTINCT line per document, so a page that repeats its
+    own footer 50 times still counts it once."""
+    assert (min_docs is None) != (min_doc_frac is None), (
+        "give exactly one of min_docs / min_doc_frac"
+    )
+    if min_docs is None:
+        assert 0.0 < min_doc_frac <= 1.0
+        # one driver scalar (same discipline as temperature_mix's rate
+        # table); ceil so frac=1.0 means "every single document"
+        min_docs = max(2, math.ceil(min_doc_frac * docs.count()))
+    assert min_docs >= 2, "threshold below 2 would blank the corpus"
+    config = config or CqfConfig(key_bits=48, seed=97)
+    spark = docs.sparkSession
+    lines = F.array_distinct(_lines_expr(text_col))
+    sketch = cqf_aggregate(
+        docs.select(F.explode(lines).alias("_l")), "_l", config
+    )
+    with_mask = docs.select(
+        F.col(id_col).alias("_id"),
+        _lines_expr(text_col).alias("_lines"),
+    ).withColumn(
+        "_keep", _keep_mask_udf(spark, sketch, min_docs)(F.col("_lines"))
+    )
+    kept = F.filter(
+        F.zip_with(
+            "_lines", "_keep", lambda l, m: F.when(m, l)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return with_mask.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size("_lines").cast("long").alias("n_lines"),
+        (F.size("_lines") - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
+def _strip_boilerplate_exact(
+    docs: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Join-based exact twin of ``strip_boilerplate`` (the parity oracle):
+    explode distinct lines -> groupBy(line) doc-frequency -> mark
+    frequent lines -> reassemble.  Costs two corpus-wide exchanges the
+    sketch path avoids; kept as the test baseline."""
+    parts = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_lines_expr(text_col)).alias("_pos", "_l"),
+    )
+    freq = (
+        parts.select("_id", "_l").distinct()
+        .groupBy("_l").agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_l", F.lit(True).alias("_boiler"))
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(_lines_expr(text_col)).cast("long").alias("n_lines"),
+    )
+    rebuilt = (
+        parts.join(freq, "_l", "left_outer")
+        .where(F.col("_boiler").isNull())
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_l"))),
+                    lambda s: s._l,
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    return per_doc.join(rebuilt, "_id", "left_outer").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias(
+            "n_dropped"
+        ),
+    )
+
+
+# --------------------------------------------------------------------- #
+# PII scrubbing — pure codegen regexp chains
+# --------------------------------------------------------------------- #
+
+# order matters: SSN before PHONE (3-2-4 vs 3-3-4 — disjoint, but the
+# email/IP passes must run before the digit-pattern passes so an IP
+# inside a URL is tagged <IP>, not half-eaten by the phone rule
+_PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # (?<![\w+]) not \b: a word boundary never fires before "(" or "+"
+    # (non-word chars), which would strand "(555) ..." / "+1 ..." prefixes
+    ("phone",
+     r"(?<![\w+])(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])"
+     r"\d{3}[-. ]\d{4}\b",
+     "<PHONE>"),
+]
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, SSN-formatted ids and
+    phone-formatted numbers with typed tags, appending ``out_col`` plus
+    one ``n_<kind>`` lineage count per rule.  Whole operator is one
+    codegen Project (regexp_count + chained regexp_replace) — zero
+    Python, zero exchanges; patterns are deliberately conservative
+    (format-anchored) so prose numerals survive."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in _PII_RULES
+    ]
+    clean = F.col(text_col)
+    for _, pat, tag in _PII_RULES:
+        clean = F.regexp_replace(clean, pat, tag)
+    return docs.select("*", *counts, clean.alias(out_col))

@@ -772,3 +772,114 @@ def test_mix_plans_are_scan_local(spark):
     cap_plan = cap_per_group(docs, "host", k=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert cap_plan.count("Exchange") == 1
+
+
+# --------------------------------------------------------------------- #
+# text cleaning: boilerplate line removal + PII scrubbing
+# (operators/cleaning.py)
+# --------------------------------------------------------------------- #
+
+def _boiler_docs(spark):
+    """200 docs of unique lines; a cookie banner on 60%, a footer on 30%,
+    and doc 0 repeating its OWN private line 5 times."""
+    from pyspark.sql import functions as F
+
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("unique line a for "), F.col("id").cast("string")),
+        F.when(F.col("id") % 5 < 3, "This site uses cookies. Accept?")
+        .otherwise(F.concat(F.lit("filler "), F.col("id").cast("string"))),
+        F.when(F.col("id") % 10 < 3, "(c) 2026 Example Corp footer")
+        .otherwise(F.concat(F.lit("more "), F.col("id").cast("string"))),
+        F.concat(F.lit("unique line b for "), F.col("id").cast("string")),
+    )
+    self_rep = F.concat_ws(
+        "\n", *([F.lit("my private refrain")] * 5), F.lit("tail line")
+    )
+    return spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, self_rep).otherwise(body).alias("text"),
+    )
+
+
+def test_strip_boilerplate_matches_exact_join(spark):
+    """Sketch-probe path == join-based exact twin, row for row; the
+    banner (60% doc-frequency) dies, the footer (30%) dies at thr=40,
+    unique lines survive, and a doc's self-repeated line counts ONCE."""
+    from cqf_spark.operators.cleaning import (
+        _strip_boilerplate_exact,
+        strip_boilerplate,
+    )
+
+    docs = _boiler_docs(spark)
+    got = strip_boilerplate(docs, min_docs=40).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _strip_boilerplate_exact(docs, min_docs=40).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+    joined = "\n".join(got["clean_text"])
+    assert "cookies" not in joined and "footer" not in joined
+    assert "unique line a for 7" in joined
+    # doc 0: its refrain appears in ONE document (df=1 < 40) -> kept whole
+    row0 = got[got["doc_id"] == 0].iloc[0]
+    assert row0["n_dropped"] == 0 and row0["clean_text"].count(
+        "my private refrain") == 5
+
+
+def test_strip_boilerplate_frac_threshold_and_empty_doc(spark):
+    """min_doc_frac resolves against the corpus size; a doc that is ALL
+    boilerplate comes back with empty clean_text, not a lost row."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.cleaning import strip_boilerplate
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 99, "banner everywhere")
+        .otherwise(F.concat_ws("\n", F.lit("banner everywhere"),
+                               F.concat(F.lit("own "),
+                                        F.col("id").cast("string"))))
+        .alias("text"),
+    )
+    out = strip_boilerplate(docs, min_doc_frac=0.5)
+    assert out.count() == 100
+    row99 = out.where("doc_id = 99").collect()[0]
+    assert row99["clean_text"] == "" and row99["n_dropped"] == 1
+    assert out.where("clean_text like '%banner%'").count() == 0
+
+
+def test_scrub_pii_rules_and_counts(spark):
+    from cqf_spark.operators.cleaning import scrub_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org or ping 10.0.255.1"),
+        (1, "call (555) 123-4567 or +1 555-321-7654; SSN 123-45-6789"),
+        (2, "the year 2026 had 365 days and pi is 3.14159"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[0]["clean_text"] == "mail me at <EMAIL> or ping <IP>"
+    assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 1
+    assert out[1]["clean_text"] == "call <PHONE> or <PHONE>; SSN <SSN>"
+    assert out[1]["n_phone"] == 2 and out[1]["n_ssn"] == 1
+    # prose numerals untouched
+    assert out[2]["clean_text"] == rows[2][1]
+    assert out[3]["clean_text"] is None
+
+
+def test_cleaning_plans_are_scan_local(spark):
+    """scrub_pii is one codegen Project (zero Exchange); the
+    strip_boilerplate FILTER pass is likewise exchange-free — its only
+    shuffle is the blob-only tree merge inside the build, which has
+    already run by plan time."""
+    from cqf_spark.operators.cleaning import scrub_pii, strip_boilerplate
+
+    docs = _boiler_docs(spark)
+    pii_plan = scrub_pii(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in pii_plan
+    strip_plan = strip_boilerplate(docs, min_docs=40)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in strip_plan
