@@ -159,6 +159,7 @@ def temperature_mix(
     target_fraction: float = 1.0,
     key_col: str = "doc_id",
     salt: str = "mix",
+    upsample: bool = False,
 ) -> DataFrame:
     """Rebalance the corpus across domains by temperature sampling (the
     Gopher/DoReMi mixing stage): with per-domain shares p_g, the target
@@ -168,8 +169,15 @@ def temperature_mix(
     r_g = min(1, q_g * target_fraction * N / n_g) via the deterministic
     per-row hash coin, so membership is a pure function of
     (salt, domain, key) and the realized mixture tracks q_g exactly in
-    expectation.  Domains that would need UP-sampling (r_g > 1) are kept
-    whole — this operator filters, never duplicates.
+    expectation.  By default, domains that would need UP-sampling
+    (r_g > 1) are kept whole — the operator filters, never duplicates.
+
+    ``upsample=True`` is how real LLM mixes run (rare domains train for
+    more than one epoch): each row is emitted ``floor(r_g)`` times plus
+    one more with probability ``frac(r_g)`` via the same deterministic
+    coin, as an ``epoch`` column (1..reps) — a pure codegen
+    explode(sequence(...)), no Python, no shuffle; expected output share
+    per domain is exactly q_g.
 
     Topology: one small groupBy-count (domain cardinality ~ 10^1-10^3),
     collected to the driver ONLY to compute the rate table (same
@@ -185,27 +193,44 @@ def temperature_mix(
     n_total = sum(counts.values())
     weights = {g: (n / n_total) ** temperature for g, n in counts.items()}
     z = sum(weights.values())
-    rates = {
-        g: min(1.0, (weights[g] / z) * target_fraction * n_total / counts[g])
+    raw = {
+        g: (weights[g] / z) * target_fraction * n_total / counts[g]
         for g in counts
     }
+    rates = raw if upsample else {g: min(1.0, r) for g, r in raw.items()}
     thr = F.lit(None).cast("string")
     rate_col = F.lit(None).cast("double")
+    base_col = F.lit(None).cast("int")
     for g, r in sorted(rates.items(), key=lambda kv: str(kv[0])):
-        # rate 1.0 keeps ALL rows: "g" sorts above every 8-char hex
-        # string, so the comparison is vacuously true (a numeric clamp to
-        # 0xffffffff would shave off the hash=="ffffffff" sliver).
+        whole = int(r) if upsample else 0
+        part = r - whole if upsample else r
+        # coin fraction 1.0 keeps ALL rows: "g" sorts above every 8-char
+        # hex string, so the comparison is vacuously true (a numeric
+        # clamp to 0xffffffff would shave off the hash=="ffffffff" sliver)
         hexthr = (
-            "g" if r >= 1.0
-            else format(int(r * _HEX_SPACE), "08x")
+            "g" if part >= 1.0
+            else format(int(part * _HEX_SPACE), "08x")
         )
         cond = F.col(domain_col) == F.lit(g)
         thr = F.when(cond, F.lit(hexthr)).otherwise(thr)
         rate_col = F.when(cond, F.lit(r)).otherwise(rate_col)
+        base_col = F.when(cond, F.lit(whole)).otherwise(base_col)
     b = _bucket(
         salt, F.col(domain_col).cast("string"), F.col(key_col).cast("string")
     )
-    return docs.withColumn("mix_rate", rate_col).where(b < thr)
+    if not upsample:
+        return docs.withColumn("mix_rate", rate_col).where(b < thr)
+    reps = base_col + F.when(b < thr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.withColumn("mix_rate", rate_col)
+        .withColumn("_reps", reps)
+        .where(F.col("_reps") >= 1)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.col("_reps"))).alias("epoch"),
+        )
+        .drop("_reps")
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -883,3 +883,55 @@ def test_cleaning_plans_are_scan_local(spark):
     strip_plan = strip_boilerplate(docs, min_docs=40)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in strip_plan
+
+
+def test_temperature_mix_upsample_epochs(spark):
+    """upsample=True: a rare domain with target rate r > 1 is emitted
+    floor(r) times per row plus a frac(r) coin — expected share tracks
+    q_g; membership/epochs match an independent recompute; the default
+    path's rows are exactly the upsampled path's epoch=1 slice for
+    clamped domains."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.sampling import temperature_mix
+
+    docs = _mix_docs(spark)
+    out = temperature_mix(docs, "host", temperature=0.0, salt="u",
+                          upsample=True)
+    rows = docs.collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    n = sum(counts.values())
+    rates = {g: (n / 3) / c for g, c in counts.items()}
+    expect: dict = {}
+    for r in rows:
+        rate = rates[r["host"]]
+        whole, part = int(rate), rate - int(rate)
+        thr = "g" if part >= 1.0 else format(int(part * 16**8), "08x")
+        h = hashlib.md5(f"u|{r['host']}|{r['doc_id']}".encode()) \
+            .hexdigest()[:8]
+        reps = whole + (1 if h < thr else 0)
+        if reps >= 1:
+            expect[(r["host"], r["doc_id"])] = reps
+    got: dict = {}
+    for r in out.collect():
+        key = (r["host"], r["doc_id"])
+        got[key] = max(got.get(key, 0), r["epoch"])
+        assert abs(r["mix_rate"] - rates[r["host"]]) < 1e-9
+    assert got == expect
+    # rare.net (15% of rows) must actually up-sample: rate > 2
+    assert rates["rare.net"] > 2.0
+    rare_n = out.where("host = 'rare.net'").count()
+    assert rare_n > counts["rare.net"] * 2
+    # epochs are dense 1..reps per row
+    bad = out.groupBy("host", "doc_id").agg(
+        F.count("*").alias("c"), F.max("epoch").alias("m"),
+        F.min("epoch").alias("lo")
+    ).where("c != m or lo != 1").count()
+    assert bad == 0
+    # plan stays scan-local (explode is no exchange)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
