@@ -92,9 +92,12 @@ def pack_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     per_partition: bool = False,
+    order_by=None,
 ) -> DataFrame:
     """Greedy sequential token-budget shard packing (training-shard
-    creation): documents in ``id_col`` order are placed into shard k =
+    creation): documents in ``id_col`` order (or ``order_by``, a Column
+    — e.g. ``shuffle_corpus``'s salted hash, so shards are packed in
+    training order rather than crawl order) are placed into shard k =
     floor(start_offset / budget), i.e. a document opens a new shard when
     its first token would land past the current shard's budget.  Shards
     hold consecutive documents and may overflow by at most one document
@@ -154,8 +157,13 @@ def pack_corpus(
                 "shard_off long"
             ),
         )
-    base = docs.select(F.col(id_col), n_toks.cast("long").alias("n_tokens"))
-    win = Window.orderBy(id_col)
+    ord_expr = F.col(id_col) if order_by is None else order_by
+    base = docs.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        ord_expr.alias("_ord"),
+    )
+    win = Window.orderBy("_ord")
     cum = base.withColumn(
         "_start", F.sum("n_tokens").over(win) - F.col("n_tokens")
     )
@@ -170,3 +178,35 @@ def pack_corpus(
             "shard_off"
         ),
     )
+
+
+def shuffle_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the step between
+    curation and ``pack_corpus``: training examples must not arrive in
+    crawl order (adjacent pages from one host correlate), and the order
+    must be REPRODUCIBLE so a re-run, a resumed job, or an auditor packs
+    byte-identical shards.  Sorting by a salted hash of the key gives a
+    uniform pseudo-random permutation that is a pure function of
+    (salt, key): no RNG state, stable under input partitioning and
+    appends (new docs interleave without displacing old ones relative
+    to each other).
+
+    Scale shape: one range-repartitioning sort on an 8-byte hash —
+    Spark samples hash boundaries, so the sort is skew-proof by
+    construction (the sort key is uniform even if doc_ids or hosts are
+    not).  ``n_partitions`` pins the output partition count (= shard
+    writer parallelism); default leaves it to AQE.
+
+    Salt discipline matches sampling.py: a different epoch's shuffle
+    order is just a different salt (``salt="epoch-2"``), uncorrelated
+    with epoch 1's by hash independence."""
+    b = F.xxhash64(F.lit(salt), F.col(id_col))
+    if n_partitions:
+        return docs.repartitionByRange(n_partitions, b) \
+            .sortWithinPartitions(b)
+    return docs.orderBy(b)

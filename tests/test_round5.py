@@ -935,3 +935,46 @@ def test_temperature_mix_upsample_epochs(spark):
     # plan stays scan-local (explode is no exchange)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shuffle_corpus_deterministic_uniform(spark):
+    """Global shuffle: a reproducible pseudo-random permutation — same
+    salt twice gives the identical order regardless of input
+    partitioning; composing with pack_corpus yields identical shards."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.corpus import pack_corpus, shuffle_corpus
+
+    docs = spark.range(5_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text for "), F.col("id").cast("string"))
+        .alias("text"),
+    )
+    a = [r["doc_id"] for r in shuffle_corpus(docs).collect()]
+    b = [r["doc_id"] for r in
+         shuffle_corpus(docs.repartition(17)).collect()]
+    assert a == b                      # partitioning-invariant total order
+    assert a != sorted(a)              # actually permuted
+    c = [r["doc_id"] for r in shuffle_corpus(docs, salt="epoch-2").collect()]
+    assert c != a                      # epochs decorrelate by salt
+    # pinned-partition mode preserves the same global order
+    d = shuffle_corpus(docs, n_partitions=8)
+    assert [r["doc_id"] for r in d.collect()] == a
+    assert d.rdd.getNumPartitions() == 8
+    # packing consumes the shuffled order via order_by: shard layout is
+    # byte-stable across reruns/partitionings and differs from id-order
+    ord_expr = F.xxhash64(F.lit("shuffle"), F.col("doc_id"))
+    p1 = pack_corpus(docs, 500, order_by=ord_expr).toPandas()
+    p2 = pack_corpus(docs.repartition(5), 500, order_by=ord_expr).toPandas()
+    import pandas as pd
+    key = lambda p: p.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(p1), key(p2))
+    by_id = key(pack_corpus(docs, 500).toPandas())
+    assert not key(p1)["shard_id"].equals(by_id["shard_id"])
+    # the packed order within a shard IS the shuffled order
+    first_shard = p1[p1["shard_id"] == p1.iloc[0]["shard_id"]]
+    ids_in_order = [r["doc_id"] for r in
+                    pack_corpus(docs, 500, order_by=ord_expr)
+                    .orderBy("shard_id", "shard_off").limit(
+                        len(first_shard)).collect()]
+    assert ids_in_order == a[:len(first_shard)]
