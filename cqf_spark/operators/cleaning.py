@@ -44,10 +44,15 @@ from ..config import CqfConfig
 
 
 def _lines_expr(text_col: str) -> Column:
-    """Non-empty trimmed lines of ``text_col`` (scan-local array expr)."""
-    return F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), F.trim),
-        lambda x: F.length(x) > 0,
+    """Non-empty trimmed lines of ``text_col`` (scan-local array expr);
+    NULL text is an empty page, not a NULL array (size(NULL) would
+    poison the n_lines/n_dropped arithmetic downstream)."""
+    return F.coalesce(
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), F.trim),
+            lambda x: F.length(x) > 0,
+        ),
+        F.array().cast("array<string>"),
     )
 
 

@@ -211,7 +211,10 @@ def temperature_mix(
             "g" if part >= 1.0
             else format(int(part * _HEX_SPACE), "08x")
         )
-        cond = F.col(domain_col) == F.lit(g)
+        # eqNullSafe: web data has missing hosts — a plain == would make
+        # NULL-domain rows match nothing and silently vanish; they form
+        # their own mixing group like any other domain
+        cond = F.col(domain_col).eqNullSafe(F.lit(g))
         thr = F.when(cond, F.lit(hexthr)).otherwise(thr)
         rate_col = F.when(cond, F.lit(r)).otherwise(rate_col)
         base_col = F.when(cond, F.lit(whole)).otherwise(base_col)

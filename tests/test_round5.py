@@ -978,3 +978,32 @@ def test_shuffle_corpus_deterministic_uniform(spark):
                     .orderBy("shard_id", "shard_off").limit(
                         len(first_shard)).collect()]
     assert ids_in_order == a[:len(first_shard)]
+
+
+def test_mixing_and_cleaning_null_robustness(spark):
+    """Web data has missing hosts and NULL text: temperature_mix treats
+    NULL as its own domain (rows survive, rate recorded); the boilerplate
+    filter returns an empty page with zero counts, not NULL arithmetic."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.cleaning import strip_boilerplate
+    from cqf_spark.operators.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a.com" if i % 3 else None, "line x\nonly line" if i % 7
+          else None) for i in range(90)],
+        "doc_id long, host string, text string",
+    )
+    out = temperature_mix(docs, "host", temperature=0.0, salt="n")
+    by = {r["host"]: r["n"] for r in
+          out.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert None in by and by[None] > 0     # null domain survives as a group
+    rates = {r["host"]: r["mix_rate"] for r in
+             out.select("host", "mix_rate").distinct().collect()}
+    assert rates[None] == 1.0              # rarer group -> kept whole
+    clean = strip_boilerplate(docs, min_docs=10)
+    row = clean.where("doc_id = 0").collect()[0]  # doc 0 has NULL text
+    assert row["clean_text"] == "" and row["n_lines"] == 0
+    assert row["n_dropped"] == 0
+    # the shared lines (df~77 >= 10) die everywhere else
+    assert clean.agg(F.sum("n_dropped")).collect()[0][0] > 100
