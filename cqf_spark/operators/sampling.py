@@ -152,6 +152,29 @@ def cap_per_group(
     )
 
 
+def temperature_rates(
+    counts: dict,
+    temperature: float,
+    target_fraction: float,
+    clamp: bool,
+) -> dict:
+    """Per-domain keep/repeat rates for temperature mixing (pure driver
+    math, factored out for direct property testing): with shares
+    p_g = n_g/N, target mixture q_g ∝ p_g^temperature and
+    r_g = q_g * target_fraction * N / n_g; ``clamp`` caps at 1.0 (the
+    filter-only regime).  Invariants (property-tested):
+    Σ_g r_g·n_g = target_fraction·N exactly when unclamped, and the rate
+    ORDER is anti-monotone in domain size for temperature < 1."""
+    n_total = sum(counts.values())
+    weights = {g: (n / n_total) ** temperature for g, n in counts.items()}
+    z = sum(weights.values())
+    raw = {
+        g: (weights[g] / z) * target_fraction * n_total / counts[g]
+        for g in counts
+    }
+    return {g: min(1.0, r) for g, r in raw.items()} if clamp else raw
+
+
 def temperature_mix(
     docs: DataFrame,
     domain_col: str,
@@ -190,14 +213,9 @@ def temperature_mix(
         r[domain_col]: r["count"]
         for r in docs.groupBy(domain_col).count().collect()
     }
-    n_total = sum(counts.values())
-    weights = {g: (n / n_total) ** temperature for g, n in counts.items()}
-    z = sum(weights.values())
-    raw = {
-        g: (weights[g] / z) * target_fraction * n_total / counts[g]
-        for g in counts
-    }
-    rates = raw if upsample else {g: min(1.0, r) for g, r in raw.items()}
+    rates = temperature_rates(
+        counts, temperature, target_fraction, clamp=not upsample
+    )
     thr = F.lit(None).cast("string")
     rate_col = F.lit(None).cast("double")
     base_col = F.lit(None).cast("int")

@@ -1007,3 +1007,77 @@ def test_mixing_and_cleaning_null_robustness(spark):
     assert row["n_dropped"] == 0
     # the shared lines (df~77 >= 10) die everywhere else
     assert clean.agg(F.sum("n_dropped")).collect()[0][0] > 100
+
+
+# --------------------------------------------------------------------- #
+# property tests: driver-side mixing math + randomized prefilter parity
+# --------------------------------------------------------------------- #
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    counts=st.lists(st.integers(1, 10**9), min_size=1, max_size=40),
+    tau=st.floats(0.0, 3.0, allow_nan=False),
+    frac=st.floats(0.01, 1.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_temperature_rates_properties(counts, tau, frac):
+    from cqf_spark.operators.sampling import temperature_rates
+
+    cd = {f"d{i}": c for i, c in enumerate(counts)}
+    n = sum(counts)
+    raw = temperature_rates(cd, tau, frac, clamp=False)
+    # mass conservation: expected kept/emitted rows == frac * N exactly
+    assert abs(sum(raw[g] * cd[g] for g in cd) - frac * n) < 1e-6 * n
+    # tau < 1 flattens: rates anti-monotone in domain size
+    if tau < 1.0:
+        by_size = sorted(cd, key=cd.__getitem__)
+        rs = [raw[g] for g in by_size]
+        assert all(a >= b - 1e-12 for a, b in zip(rs, rs[1:]))
+    # tau == 1 is a uniform coin: every domain gets exactly frac
+    if tau == 1.0:
+        assert all(abs(r - frac) < 1e-9 for r in raw.values())
+    clamped = temperature_rates(cd, tau, frac, clamp=True)
+    assert all(0.0 < r <= 1.0 + 1e-12 for r in clamped.values())
+    assert all(clamped[g] <= raw[g] + 1e-12 for g in cd)
+
+
+@given(weights=st.lists(st.floats(0.01, 100.0), min_size=2, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_split_thresholds_properties(weights):
+    from cqf_spark.operators.sampling import _HEX_SPACE, _thresholds
+
+    ts = _thresholds(weights)
+    assert len(ts) == len(weights) - 1
+    assert ts == sorted(ts)                      # monotone hex cuts
+    assert all(len(t) == 8 for t in ts)          # fixed-width compare
+    total = float(sum(weights))
+    for i, t in enumerate(ts):
+        want = sum(weights[: i + 1]) / total
+        assert abs(int(t, 16) / _HEX_SPACE - want) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cap_prefilter_parity_randomized(spark, seed):
+    """Randomized corpora: group sizes spanning 1 to ~3000 (zipf-ish),
+    random k/est — the two-phase path must equal the window path
+    exactly, whatever the prefilter threshold cuts."""
+    import numpy as np
+
+    from cqf_spark.operators.sampling import cap_per_group
+
+    rng = np.random.default_rng(seed)
+    n_groups = int(rng.integers(5, 40))
+    sizes = np.minimum((rng.pareto(0.7, n_groups) * 30).astype(int) + 1,
+                       3000)
+    rows = [(int(g * 10**6 + i), f"g{g}")
+            for g, s in enumerate(sizes) for i in range(s)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string")
+    k = int(rng.integers(1, 60))
+    est = int(rng.integers(1, 5000))
+    exact = cap_per_group(docs, "host", k=k, salt=f"r{seed}")
+    fast = cap_per_group(docs, "host", k=k, salt=f"r{seed}",
+                         prefilter=True, est_rows_per_group=est)
+    assert exact.exceptAll(fast).count() == 0
+    assert fast.exceptAll(exact).count() == 0
