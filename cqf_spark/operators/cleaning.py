@@ -57,10 +57,12 @@ def _lines_expr(text_col: str) -> Column:
 
 
 def _keep_mask_udf(spark, sketch, threshold: int):
-    """pandas UDF: array<string> lines -> array<boolean> keep-mask
-    (keep = doc-frequency in the broadcast sketch < threshold).  The
-    batch's lines are flattened into one numpy pass — hash + probe are
-    whole-batch ops, never per row."""
+    """pandas UDF: array<long> line FINGERPRINTS -> array<boolean>
+    keep-mask (keep = doc-frequency in the broadcast sketch <
+    threshold).  Fingerprints are computed JVM-side (xxhash64), so the
+    only data crossing Arrow is 8 bytes per line — the line strings
+    never leave the JVM; the batch's fingerprints are flattened into one
+    numpy hash+probe pass, never per row."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -73,11 +75,11 @@ def _keep_mask_udf(spark, sketch, threshold: int):
     config = sketch.config
 
     @pandas_udf(ArrayType(BooleanType()))
-    def _mask(lines: pd.Series) -> pd.Series:
+    def _mask(fps: pd.Series) -> pd.Series:
         arrs = [
-            np.asarray(v, dtype=object) if v is not None else
-            np.empty(0, dtype=object)
-            for v in lines
+            np.asarray(v, dtype=np.int64) if v is not None else
+            np.empty(0, dtype=np.int64)
+            for v in fps
         ]
         lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
                            count=len(arrs))
@@ -120,15 +122,24 @@ def strip_boilerplate(
     assert min_docs >= 2, "threshold below 2 would blank the corpus"
     config = config or CqfConfig(key_bits=48, seed=97)
     spark = docs.sparkSession
-    lines = F.array_distinct(_lines_expr(text_col))
+    # lines are fingerprinted JVM-side (xxhash64) on BOTH the build and
+    # the probe side, so the Arrow boundary moves 8 bytes per line, not
+    # the line text; the CQF then re-hashes the fingerprint into its own
+    # 48-bit space (collision discipline unchanged: ~n^2/2^49 end-to-end)
+    fp_lines = F.transform(
+        F.array_distinct(_lines_expr(text_col)), lambda x: F.xxhash64(x)
+    )
     sketch = cqf_aggregate(
-        docs.select(F.explode(lines).alias("_l")), "_l", config
+        docs.select(F.explode(fp_lines).alias("_l")), "_l", config
     )
     with_mask = docs.select(
         F.col(id_col).alias("_id"),
         _lines_expr(text_col).alias("_lines"),
     ).withColumn(
-        "_keep", _keep_mask_udf(spark, sketch, min_docs)(F.col("_lines"))
+        "_keep",
+        _keep_mask_udf(spark, sketch, min_docs)(
+            F.transform("_lines", lambda x: F.xxhash64(x))
+        ),
     )
     kept = F.filter(
         F.zip_with(
