@@ -327,6 +327,46 @@ ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
 WARMUP_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "1"))
 
 
+LOG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "scaling_logs")
+
+
+def cross_campaign_floors(log_dir: str = LOG_DIR) -> dict | None:
+    """Best (lowest) per-level walls across every recorded campaign log —
+    the substitute evidence the pinned gate's sentinel policy names when
+    a metric's in-campaign lo leg never reaches its demonstrated floor
+    (ADVICE r4: record the substitution IN THE JSON, not only in BENCH.md
+    prose).  Warm-up lines count too: a lower wall is floor evidence
+    regardless of whether it was gated.  Valid only across campaigns at
+    the same N (all recorded campaigns run N=2); returns None when no
+    logs exist (e.g. a fresh clone)."""
+    import ast
+    import glob
+    import re
+
+    floors: dict[str, float] = {}
+    sources: dict[str, str] = {}
+    pat = re.compile(
+        r"\[scaling\] (?:round \d+|warmup): lo=(\{.*?\}) hi=(\{.*\})"
+    )
+    for path in sorted(glob.glob(os.path.join(log_dir, "*.log"))):
+        for line in open(path):
+            m = pat.match(line.strip())
+            if not m:
+                continue
+            lo, hi = ast.literal_eval(m.group(1)), ast.literal_eval(m.group(2))
+            for level, rec in (("lo", lo), ("hi", hi)):
+                for job in ("webtext", "core"):
+                    key = f"{level}_{job}_s"
+                    wall = rec[f"{job}_s"]
+                    if key not in floors or wall < floors[key]:
+                        floors[key] = wall
+                        sources[key] = os.path.basename(path)
+    if not floors:
+        return None
+    return {"floors_s": floors, "source_log": sources}
+
+
 def _best(levels: list[dict]) -> dict:
     best = dict(levels[0])
     for r in levels[1:]:
@@ -337,6 +377,31 @@ def _best(levels: list[dict]) -> dict:
         best["cpu_steal_pct"] = min(best["cpu_steal_pct"], r["cpu_steal_pct"])
     best["trials"] = len(levels)
     return best
+
+
+def _substitutions(metrics: list[str], lo: dict, hi: dict) -> dict | None:
+    """Per suspect/invalid metric: the cross-campaign lo floor and the
+    efficiency it implies against THIS campaign's hi floor (equal work at
+    both levels: eff = lo_wall / (4 * hi_wall))."""
+    if not metrics:
+        return None
+    cross = cross_campaign_floors()
+    if cross is None:
+        return {"note": "no recorded campaign logs to substitute from"}
+    out: dict = {}
+    for job in metrics:
+        lo_this = lo[f"{job}_s"]
+        lo_cross = min(lo_this, cross["floors_s"][f"lo_{job}_s"])
+        out[job] = {
+            "lo_floor_this_campaign_s": lo_this,
+            "lo_floor_cross_campaign_s": lo_cross,
+            "lo_floor_source_log": cross["source_log"][f"lo_{job}_s"],
+            "hi_floor_this_campaign_s": hi[f"{job}_s"],
+            "efficiency_substituted": round(
+                lo_cross / (4.0 * hi[f"{job}_s"]), 3
+            ),
+        }
+    return out
 
 
 def summarize(
@@ -454,6 +519,14 @@ def summarize(
         "floor_sentinel_threshold": sentinel,
         "metrics_invalid_unreached_floor": unreliable,
         "metrics_suspect_ratio_above_1": suspect,
+        # ADVICE r4: when the sentinel/suspect fires, the substitute
+        # cross-campaign floor and the efficiency it implies live HERE,
+        # not only in BENCH.md prose.  Substitution replaces only the LO
+        # floor (the level the >1.0 analysis shows misses its floor);
+        # the campaign's own hi floor stays in the denominator.
+        "cross_campaign_floor_substitution": _substitutions(
+            suspect + unreliable, lo, hi
+        ),
         "pass_0.8": bool(
             0.8 <= eff_wt <= sentinel
             and 0.8 <= eff_core <= sentinel

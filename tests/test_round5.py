@@ -1081,3 +1081,44 @@ def test_cap_prefilter_parity_randomized(spark, seed):
                          prefilter=True, est_rows_per_group=est)
     assert exact.exceptAll(fast).count() == 0
     assert fast.exceptAll(exact).count() == 0
+
+
+def test_scaling_sentinel_records_substitution():
+    """When a metric's floor ratio lands in the suspect (>1.0) or
+    invalid (>1.05) band, the JSON must carry the cross-campaign lo
+    floor and the efficiency it implies — the ADVICE r4 disclosure —
+    sourced from the recorded campaign logs; a clean campaign records
+    null."""
+    import json
+
+    import scaling_bench as sb
+
+    cross = sb.cross_campaign_floors()
+    assert cross and cross["floors_s"]["lo_webtext_s"] <= 15.0
+
+    def lvl(wt_s, core_s, work=100.0):
+        return {
+            "webtext_tokens": work, "webtext_s": wt_s,
+            "webtext_tokens_per_s": work / wt_s,
+            "core_inserts": work, "core_s": core_s,
+            "core_inserts_per_s": work / core_s,
+            "cpu_steal_pct": 0.0, "trials": 3,
+        }
+
+    # throttled lo webtext leg: ratio 60/(4*14) = 1.07 -> INVALID
+    lo, hi = lvl(60.0, 40.0), lvl(14.0, 10.8)
+    out = sb.summarize(2, [lo, dict(lo)], [hi, dict(hi)], 1.0)
+    assert "webtext" in out["metrics_invalid_unreached_floor"]
+    assert out["pass_0.8"] is False
+    sub = out["cross_campaign_floor_substitution"]["webtext"]
+    assert sub["lo_floor_cross_campaign_s"] == min(
+        60.0, cross["floors_s"]["lo_webtext_s"])
+    assert sub["efficiency_substituted"] == round(
+        sub["lo_floor_cross_campaign_s"] / (4 * 14.0), 3)
+    assert sub["lo_floor_source_log"].endswith(".log")
+    json.loads(json.dumps(out))
+    # clean campaign: no substitution recorded
+    lo2, hi2 = lvl(40.0, 40.0), lvl(11.0, 11.0)
+    out2 = sb.summarize(2, [lo2, dict(lo2)], [hi2, dict(hi2)], 1.0)
+    assert out2["cross_campaign_floor_substitution"] is None
+    assert out2["pass_0.8"] is True
