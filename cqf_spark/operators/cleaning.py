@@ -94,6 +94,44 @@ def _keep_mask_udf(spark, sketch, threshold: int):
     return _mask
 
 
+def _frequent_hash_mask_udf(spark, freq_hashes, config):
+    """pandas UDF twin of ``_keep_mask_udf`` for the sharded regime:
+    keep = the line's CQF hash is NOT in the (small, broadcast) frequent
+    set.  ``freq_hashes`` is a sorted int64 numpy array; membership is
+    one vectorized searchsorted per batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, BooleanType
+
+    from ..aggregator import ensure_shipped, hash_series
+
+    ensure_shipped(spark)
+    bset = spark.sparkContext.broadcast(freq_hashes)
+
+    @pandas_udf(ArrayType(BooleanType()))
+    def _mask(fps: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(v, dtype=np.int64) if v is not None else
+            np.empty(0, dtype=np.int64)
+            for v in fps
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        if lens.sum() == 0:
+            return pd.Series([np.empty(0, dtype=bool)] * len(arrs))
+        flat = pd.Series(np.concatenate(arrs))
+        h = hash_series(flat, config).view(np.int64)
+        freq = bset.value
+        pos = np.searchsorted(freq, h)
+        pos[pos == len(freq)] = 0  # any in-range slot; equality decides
+        keep = freq[pos] != h if len(freq) else np.ones(len(h), bool)
+        bounds = np.cumsum(lens)[:-1]
+        return pd.Series(np.split(keep, bounds))
+
+    return _mask
+
+
 def strip_boilerplate(
     docs: DataFrame,
     min_docs: int | None = None,
@@ -101,12 +139,26 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     text_col: str = "text",
     config: CqfConfig | None = None,
+    sharded: bool = False,
+    n_shards: int = 16,
+    max_frequent: int = 2_000_000,
 ) -> DataFrame:
     """Remove every line whose document-frequency reaches the threshold
     (``min_docs`` absolute, or ``min_doc_frac`` of the corpus — exactly
     one must be given).  Unlike paragraph_dedup (which keeps the first
     occurrence), boilerplate lines are dropped from ALL documents: a
     cookie banner's first page is no more content than its billionth.
+
+    ``sharded=True`` is the beyond-broadcast regime (10^12 docs: the
+    DISTINCT-line doc-frequency sketch outgrows one executor-resident
+    blob, but the FREQUENT set is small by definition — boilerplate is
+    the head of the distribution): the counts live in a ``ShardedCqf``,
+    the frequent LINE HASHES are decoded per shard (each shard emits
+    only its count>=threshold survivors), collected and broadcast as a
+    sorted array (fail-loud past ``max_frequent``), and the filter pass
+    is the same scan-local mask — keep = hash not in the frequent set.
+    Identical output to the broadcast path (parity-tested): both decide
+    from the same CQF counts.
 
     Returns (id_col, clean_text, n_lines, n_dropped); the doc-frequency
     count is per DISTINCT line per document, so a page that repeats its
@@ -129,17 +181,42 @@ def strip_boilerplate(
     fp_lines = F.transform(
         F.array_distinct(_lines_expr(text_col)), lambda x: F.xxhash64(x)
     )
-    sketch = cqf_aggregate(
-        docs.select(F.explode(fp_lines).alias("_l")), "_l", config
-    )
+    build = docs.select(F.explode(fp_lines).alias("_l"))
+    if sharded:
+        import numpy as np
+
+        from ..sharded import ShardedCqf
+
+        # persist=False: the sketch is consumed exactly once (decode)
+        sk = ShardedCqf.aggregate(
+            build, "_l", config, n_shards=n_shards, persist=False
+        )
+        rows = (
+            sk.items_df()
+            .where(F.col("count") >= min_docs)
+            .select("hash")
+            .limit(max_frequent + 1)
+            .collect()
+        )
+        if len(rows) > max_frequent:
+            raise ValueError(
+                f"frequent-line set exceeds max_frequent={max_frequent}; "
+                "raise the threshold (this many 'boilerplate' lines means "
+                "the threshold is classifying content as boilerplate)"
+            )
+        freq = np.sort(np.fromiter(
+            (r["hash"] for r in rows), dtype=np.int64, count=len(rows)
+        ))
+        mask_udf = _frequent_hash_mask_udf(spark, freq, config)
+    else:
+        sketch = cqf_aggregate(build, "_l", config)
+        mask_udf = _keep_mask_udf(spark, sketch, min_docs)
     with_mask = docs.select(
         F.col(id_col).alias("_id"),
         _lines_expr(text_col).alias("_lines"),
     ).withColumn(
         "_keep",
-        _keep_mask_udf(spark, sketch, min_docs)(
-            F.transform("_lines", lambda x: F.xxhash64(x))
-        ),
+        mask_udf(F.transform("_lines", lambda x: F.xxhash64(x))),
     )
     kept = F.filter(
         F.zip_with(

@@ -1122,3 +1122,23 @@ def test_scaling_sentinel_records_substitution():
     out2 = sb.summarize(2, [lo2, dict(lo2)], [hi2, dict(hi2)], 1.0)
     assert out2["cross_campaign_floor_substitution"] is None
     assert out2["pass_0.8"] is True
+
+
+def test_strip_boilerplate_sharded_parity(spark):
+    """Beyond-broadcast regime: the ShardedCqf-backed frequent-set path
+    must return row-identical output to the broadcast-sketch path (and
+    therefore to the exact join twin), and the fail-loud cap must fire
+    when the 'frequent' set explodes."""
+    import pytest as _pytest
+
+    from cqf_spark.operators.cleaning import strip_boilerplate
+
+    docs = _boiler_docs(spark)
+    a = strip_boilerplate(docs, min_docs=40).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = strip_boilerplate(docs, min_docs=40, sharded=True, n_shards=8) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_dropped"].sum() > 0   # the parity is not vacuous
+    with _pytest.raises(ValueError, match="max_frequent"):
+        strip_boilerplate(docs, min_docs=2, sharded=True, max_frequent=3)
