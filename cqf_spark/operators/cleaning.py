@@ -160,9 +160,12 @@ def strip_boilerplate(
     Identical output to the broadcast path (parity-tested): both decide
     from the same CQF counts.
 
-    Returns (id_col, clean_text, n_lines, n_dropped); the doc-frequency
-    count is per DISTINCT line per document, so a page that repeats its
-    own footer 50 times still counts it once."""
+    Returns (id_col, <passthrough columns>, clean_text, n_lines,
+    n_dropped) — every input column except ``text_col`` survives, so the
+    stage composes mid-pipeline (epoch/domain/lineage columns are not
+    lost).  The doc-frequency count is per DISTINCT line per document,
+    so a page that repeats its own footer 50 times still counts it
+    once."""
     assert (min_docs is None) != (min_doc_frac is None), (
         "give exactly one of min_docs / min_doc_frac"
     )
@@ -211,8 +214,14 @@ def strip_boilerplate(
     else:
         sketch = cqf_aggregate(build, "_l", config)
         mask_udf = _keep_mask_udf(spark, sketch, min_docs)
+    passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
+    clash = {"clean_text", "n_lines", "n_dropped", "_id", "_lines", "_keep"}
+    assert not clash & set(passthrough), (
+        f"input columns collide with outputs: {clash & set(passthrough)}"
+    )
     with_mask = docs.select(
         F.col(id_col).alias("_id"),
+        *passthrough,
         _lines_expr(text_col).alias("_lines"),
     ).withColumn(
         "_keep",
@@ -226,6 +235,7 @@ def strip_boilerplate(
     )
     return with_mask.select(
         F.col("_id").alias(id_col),
+        *passthrough,
         F.array_join(kept, "\n").alias("clean_text"),
         F.size("_lines").cast("long").alias("n_lines"),
         (F.size("_lines") - F.size(kept)).cast("long").alias("n_dropped"),
