@@ -163,7 +163,13 @@ def pack_corpus(
         n_toks.cast("long").alias("n_tokens"),
         ord_expr.alias("_ord"),
     )
-    win = Window.orderBy("_ord")
+    # ROWS frame + id tiebreak, NOT the default RANGE frame: RANGE pools
+    # every row tied on _ord into one cumulative value, so two rows with
+    # equal order keys (e.g. up-sampled epoch copies ordered by a hash of
+    # the doc id alone) would receive overlapping shard offsets
+    win = Window.orderBy("_ord", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     cum = base.withColumn(
         "_start", F.sum("n_tokens").over(win) - F.col("n_tokens")
     )

@@ -1142,3 +1142,26 @@ def test_strip_boilerplate_sharded_parity(spark):
     assert a["n_dropped"].sum() > 0   # the parity is not vacuous
     with _pytest.raises(ValueError, match="max_frequent"):
         strip_boilerplate(docs, min_docs=2, sharded=True, max_frequent=3)
+
+
+def test_pack_corpus_ties_get_disjoint_offsets(spark):
+    """Rows tied on the packing order key (e.g. up-sampled epoch copies
+    whose order hash ignores the epoch) must still receive disjoint
+    running offsets — the default RANGE window frame would pool them."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.corpus import pack_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10) for i in range(40)], "doc_id long, text string"
+    )
+    out = pack_corpus(docs, budget_tokens=1000,
+                      order_by=F.lit(0)).toPandas()  # ALL rows tied
+    spans = sorted(
+        (r["shard_id"], r["shard_off"], r["shard_off"] + r["n_tokens"])
+        for _, r in out.iterrows()
+    )
+    for (s1, a1, b1), (s2, a2, b2) in zip(spans, spans[1:]):
+        assert s1 != s2 or b1 <= a2        # no overlap within a shard
+    assert (out["n_tokens"] == out["n_tokens"].iloc[0]).all()
+    assert len(out) == 40
