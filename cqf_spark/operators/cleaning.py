@@ -56,17 +56,41 @@ def _lines_expr(text_col: str) -> Column:
     )
 
 
-def _keep_mask_udf(spark, sketch, threshold: int):
-    """pandas UDF: array<long> line FINGERPRINTS -> array<boolean>
-    keep-mask (keep = doc-frequency in the broadcast sketch <
-    threshold).  Fingerprints are computed JVM-side (xxhash64), so the
-    only data crossing Arrow is 8 bytes per line — the line strings
-    never leave the JVM; the batch's fingerprints are flattened into one
-    numpy hash+probe pass, never per row."""
+def _ragged_mask_udf(probe):
+    """Shared scaffold for the line keep-masks: a pandas UDF over an
+    array<long> fingerprint column that flattens the whole Arrow batch
+    into ONE int64 vector, calls ``probe(flat) -> bool keep array`` once,
+    and re-splits by the original row lengths — fingerprints are computed
+    JVM-side (xxhash64), so 8 bytes per line cross Arrow, never the line
+    text, and nothing runs per row.  The broadcast and sharded probes
+    differ only in what they close over."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, BooleanType
+
+    @pandas_udf(ArrayType(BooleanType()))
+    def _mask(fps: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(v, dtype=np.int64) if v is not None else
+            np.empty(0, dtype=np.int64)
+            for v in fps
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        if lens.sum() == 0:
+            return pd.Series([np.empty(0, dtype=bool)] * len(arrs))
+        keep = probe(np.concatenate(arrs))
+        bounds = np.cumsum(lens)[:-1]
+        return pd.Series(np.split(keep, bounds))
+
+    return _mask
+
+
+def _keep_mask_udf(spark, sketch, threshold: int):
+    """keep = doc-frequency in the broadcast CQF < threshold."""
+    import numpy as np
+    import pandas as pd
 
     from ..aggregator import _cached_sketch, ensure_shipped, hash_series
 
@@ -74,62 +98,36 @@ def _keep_mask_udf(spark, sketch, threshold: int):
     blob = spark.sparkContext.broadcast(sketch.to_bytes())
     config = sketch.config
 
-    @pandas_udf(ArrayType(BooleanType()))
-    def _mask(fps: pd.Series) -> pd.Series:
-        arrs = [
-            np.asarray(v, dtype=np.int64) if v is not None else
-            np.empty(0, dtype=np.int64)
-            for v in fps
-        ]
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                           count=len(arrs))
-        if lens.sum() == 0:
-            return pd.Series([np.empty(0, dtype=bool)] * len(arrs))
-        flat = pd.Series(np.concatenate(arrs))
+    def probe(flat: "np.ndarray") -> "np.ndarray":
         sk = _cached_sketch(blob.value)
-        keep = sk.count_hashes(hash_series(flat, config)) < threshold
-        bounds = np.cumsum(lens)[:-1]
-        return pd.Series(np.split(keep, bounds))
+        return sk.count_hashes(hash_series(pd.Series(flat), config)) \
+            < threshold
 
-    return _mask
+    return _ragged_mask_udf(probe)
 
 
 def _frequent_hash_mask_udf(spark, freq_hashes, config):
-    """pandas UDF twin of ``_keep_mask_udf`` for the sharded regime:
-    keep = the line's CQF hash is NOT in the (small, broadcast) frequent
-    set.  ``freq_hashes`` is a sorted int64 numpy array; membership is
-    one vectorized searchsorted per batch."""
+    """Sharded-regime twin: keep = the line's CQF hash is NOT in the
+    (small, broadcast, sorted) frequent set — one vectorized
+    searchsorted per batch."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, BooleanType
 
     from ..aggregator import ensure_shipped, hash_series
 
     ensure_shipped(spark)
     bset = spark.sparkContext.broadcast(freq_hashes)
 
-    @pandas_udf(ArrayType(BooleanType()))
-    def _mask(fps: pd.Series) -> pd.Series:
-        arrs = [
-            np.asarray(v, dtype=np.int64) if v is not None else
-            np.empty(0, dtype=np.int64)
-            for v in fps
-        ]
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                           count=len(arrs))
-        if lens.sum() == 0:
-            return pd.Series([np.empty(0, dtype=bool)] * len(arrs))
-        flat = pd.Series(np.concatenate(arrs))
-        h = hash_series(flat, config).view(np.int64)
+    def probe(flat: "np.ndarray") -> "np.ndarray":
+        h = hash_series(pd.Series(flat), config).view(np.int64)
         freq = bset.value
+        if not len(freq):
+            return np.ones(len(h), bool)
         pos = np.searchsorted(freq, h)
         pos[pos == len(freq)] = 0  # any in-range slot; equality decides
-        keep = freq[pos] != h if len(freq) else np.ones(len(h), bool)
-        bounds = np.cumsum(lens)[:-1]
-        return pd.Series(np.split(keep, bounds))
+        return freq[pos] != h
 
-    return _mask
+    return _ragged_mask_udf(probe)
 
 
 def strip_boilerplate(
@@ -322,12 +320,15 @@ def scrub_pii(
     one ``n_<kind>`` lineage count per rule.  Whole operator is one
     codegen Project (regexp_count + chained regexp_replace) — zero
     Python, zero exchanges; patterns are deliberately conservative
-    (format-anchored) so prose numerals survive."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
-        for kind, pat, _ in _PII_RULES
-    ]
-    clean = F.col(text_col)
-    for _, pat, tag in _PII_RULES:
-        clean = F.regexp_replace(clean, pat, tag)
-    return docs.select("*", *counts, clean.alias(out_col))
+    (format-anchored) so prose numerals survive.
+
+    Each rule counts on the text AS OF ITS STAGE in the chain, not on
+    the raw input, so ``n_<kind>`` equals the number of ``<KIND>`` tags
+    actually emitted: a match consumed by an earlier rule (e.g. a phone
+    number inside an email local part) is not double-counted."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, tag in _PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, tag)
+    return docs.select("*", *counts, cur.alias(out_col))

@@ -211,8 +211,17 @@ def shuffle_corpus(
     Salt discipline matches sampling.py: a different epoch's shuffle
     order is just a different salt (``salt="epoch-2"``), uncorrelated
     with epoch 1's by hash independence."""
+    # id_col tiebreak: a 64-bit hash collision (~n^2/2^65 — real at 10^9
+    # docs) would otherwise leave the tied pair's relative order
+    # partitioning-dependent, voiding the byte-identical contract
     b = F.xxhash64(F.lit(salt), F.col(id_col))
     if n_partitions:
-        return docs.repartitionByRange(n_partitions, b) \
-            .sortWithinPartitions(b)
-    return docs.orderBy(b)
+        # NOTE the pinned-partition mode pins the global ORDER; the range
+        # boundaries themselves come from Spark's sampling and may land
+        # differently across cluster runs, so the per-FILE split can move
+        # even though the concatenated order cannot.  Shard identity that
+        # must be stable across runs comes from pack_corpus's offsets,
+        # not from the file boundaries.
+        return docs.repartitionByRange(n_partitions, b, F.col(id_col)) \
+            .sortWithinPartitions(b, F.col(id_col))
+    return docs.orderBy(b, F.col(id_col))

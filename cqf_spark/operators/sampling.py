@@ -112,6 +112,11 @@ def cap_per_group(
     host's window input drops from n to ~4k rows."""
     assert k >= 1
     cols = docs.columns  # joins on a string key reorder columns — restore
+    helper = {"_b", "_rn", "_ug"}
+    assert not helper & set(cols), (
+        f"input columns collide with cap_per_group helpers: "
+        f"{helper & set(cols)}"
+    )
     b = _bucket(
         salt, F.col(group_col).cast("string"), F.col(key_col).cast("string")
     )
@@ -135,11 +140,16 @@ def cap_per_group(
                 ).alias("_u")
             )
             .where(F.col("_u") < k)
-            .select(group_col)
+            .select(F.col(group_col).alias("_ug"))
         )
+        # eqNullSafe, NOT an equi-join on the name: a NULL group is a real
+        # group (missing hosts), and plain join equality never matches
+        # NULL = NULL — an unsafe NULL group would never re-admit and its
+        # rows would silently vanish from the prefilter path only
+        cond = F.col(group_col).eqNullSafe(F.col("_ug"))
         survivors = under.join(
-            F.broadcast(unsafe), group_col, "left_anti"
-        ).unionByName(docs.join(F.broadcast(unsafe), group_col, "left_semi"))
+            F.broadcast(unsafe), cond, "left_anti"
+        ).unionByName(docs.join(F.broadcast(unsafe), cond, "left_semi"))
     else:
         survivors = docs
     from pyspark.sql.window import Window
@@ -205,10 +215,21 @@ def temperature_mix(
     Topology: one small groupBy-count (domain cardinality ~ 10^1-10^3),
     collected to the driver ONLY to compute the rate table (same
     discipline as k-means' O(k·dim) driver state), then one scan-local
-    hash filter with a literal when-chain — the corpus itself is read
-    once with no shuffle.  Returns docs filtered, plus a ``mix_rate``
-    column recording each row's domain keep-rate for lineage."""
+    hash filter — a literal when-chain up to 64 domains (bare Project,
+    zero exchange of any kind), a broadcast join against the tiny rate
+    table past that (nested CaseWhen trees stress codegen at depth; the
+    join is flat and still corpus-shuffle-free).  The corpus itself is
+    read once with no shuffle either way.  Returns docs filtered, plus a
+    ``mix_rate`` column recording each row's domain keep-rate for
+    lineage."""
     assert temperature >= 0.0 and 0.0 < target_fraction <= 1.0
+    helper = {"mix_rate", "_reps", "_thr", "_base", "_dom"} | (
+        {"epoch"} if upsample else set()
+    )
+    assert not helper & set(docs.columns), (
+        f"input columns collide with temperature_mix outputs: "
+        f"{helper & set(docs.columns)}"
+    )
     counts = {
         r[domain_col]: r["count"]
         for r in docs.groupBy(domain_col).count().collect()
@@ -216,9 +237,7 @@ def temperature_mix(
     rates = temperature_rates(
         counts, temperature, target_fraction, clamp=not upsample
     )
-    thr = F.lit(None).cast("string")
-    rate_col = F.lit(None).cast("double")
-    base_col = F.lit(None).cast("int")
+    table = []  # (domain, hexthr, rate, whole-epochs)
     for g, r in sorted(rates.items(), key=lambda kv: str(kv[0])):
         whole = int(r) if upsample else 0
         part = r - whole if upsample else r
@@ -229,28 +248,54 @@ def temperature_mix(
             "g" if part >= 1.0
             else format(int(part * _HEX_SPACE), "08x")
         )
-        # eqNullSafe: web data has missing hosts — a plain == would make
-        # NULL-domain rows match nothing and silently vanish; they form
-        # their own mixing group like any other domain
-        cond = F.col(domain_col).eqNullSafe(F.lit(g))
-        thr = F.when(cond, F.lit(hexthr)).otherwise(thr)
-        rate_col = F.when(cond, F.lit(r)).otherwise(rate_col)
-        base_col = F.when(cond, F.lit(whole)).otherwise(base_col)
+        table.append((g, hexthr, float(r), whole))
+    if len(table) <= 64:
+        # literal when-chains: keeps the corpus pass a bare scan-local
+        # Project with ZERO exchange of any kind (plan-audited)
+        thr = F.lit(None).cast("string")
+        rate_col = F.lit(None).cast("double")
+        base_col = F.lit(None).cast("int")
+        for g, hexthr, r, whole in table:
+            # eqNullSafe: web data has missing hosts — a plain == would
+            # make NULL-domain rows match nothing and silently vanish;
+            # they form their own mixing group like any other domain
+            cond = F.col(domain_col).eqNullSafe(F.lit(g))
+            thr = F.when(cond, F.lit(hexthr)).otherwise(thr)
+            rate_col = F.when(cond, F.lit(r)).otherwise(rate_col)
+            base_col = F.when(cond, F.lit(whole)).otherwise(base_col)
+        mixed = docs.withColumn("mix_rate", rate_col)
+    else:
+        # past ~64 domains three N-deep nested CaseWhen trees stress the
+        # analyzer/codegen (64KB generated-method limit); a broadcast
+        # hash join against the O(#domains) rate table is flat, adds no
+        # corpus-side exchange, and is null-safe on the key
+        spark = docs.sparkSession
+        rt = F.broadcast(
+            spark.createDataFrame(
+                table, f"_dom {docs.schema[domain_col].dataType.simpleString()},"
+                " _thr string, mix_rate double, _base int"
+            )
+        )
+        mixed = docs.join(
+            rt, F.col(domain_col).eqNullSafe(F.col("_dom")), "left_outer"
+        ).drop("_dom")
+        thr, rate_col, base_col = (
+            F.col("_thr"), F.col("mix_rate"), F.col("_base")
+        )
     b = _bucket(
         salt, F.col(domain_col).cast("string"), F.col(key_col).cast("string")
     )
     if not upsample:
-        return docs.withColumn("mix_rate", rate_col).where(b < thr)
+        return mixed.where(b < thr).drop("_thr", "_base")
     reps = base_col + F.when(b < thr, F.lit(1)).otherwise(F.lit(0))
     return (
-        docs.withColumn("mix_rate", rate_col)
-        .withColumn("_reps", reps)
+        mixed.withColumn("_reps", reps)
         .where(F.col("_reps") >= 1)
         .select(
             "*",
             F.explode(F.sequence(F.lit(1), F.col("_reps"))).alias("epoch"),
         )
-        .drop("_reps")
+        .drop("_reps", "_thr", "_base")
     )
 
 

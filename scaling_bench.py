@@ -331,15 +331,18 @@ LOG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling_logs")
 
 
-def cross_campaign_floors(log_dir: str = LOG_DIR) -> dict | None:
+def cross_campaign_floors(n: int = 2, log_dir: str = LOG_DIR) -> dict | None:
     """Best (lowest) per-level walls across every recorded campaign log —
     the substitute evidence the pinned gate's sentinel policy names when
     a metric's in-campaign lo leg never reaches its demonstrated floor
     (ADVICE r4: record the substitution IN THE JSON, not only in BENCH.md
     prose).  Warm-up lines count too: a lower wall is floor evidence
-    regardless of whether it was gated.  Valid only across campaigns at
-    the same N (all recorded campaigns run N=2); returns None when no
-    logs exist (e.g. a fresh clone)."""
+    regardless of whether it was gated.  Records are filtered by their
+    own ``cores`` field against this campaign's N (lo must be N cores,
+    hi 4N) so a log from a different-N campaign can never contribute an
+    unreachable floor; records from pre-``cores``-era logs are accepted
+    by position.  Returns None when no logs exist (e.g. a fresh
+    clone)."""
     import ast
     import glob
     import re
@@ -355,7 +358,9 @@ def cross_campaign_floors(log_dir: str = LOG_DIR) -> dict | None:
             if not m:
                 continue
             lo, hi = ast.literal_eval(m.group(1)), ast.literal_eval(m.group(2))
-            for level, rec in (("lo", lo), ("hi", hi)):
+            for level, rec, want_cores in (("lo", lo, n), ("hi", hi, 4 * n)):
+                if rec.get("cores", want_cores) != want_cores:
+                    continue
                 for job in ("webtext", "core"):
                     key = f"{level}_{job}_s"
                     wall = rec[f"{job}_s"]
@@ -379,13 +384,15 @@ def _best(levels: list[dict]) -> dict:
     return best
 
 
-def _substitutions(metrics: list[str], lo: dict, hi: dict) -> dict | None:
+def _substitutions(
+    metrics: list[str], lo: dict, hi: dict, n: int = 2
+) -> dict | None:
     """Per suspect/invalid metric: the cross-campaign lo floor and the
     efficiency it implies against THIS campaign's hi floor (equal work at
     both levels: eff = lo_wall / (4 * hi_wall))."""
     if not metrics:
         return None
-    cross = cross_campaign_floors()
+    cross = cross_campaign_floors(n)
     if cross is None:
         return {"note": "no recorded campaign logs to substitute from"}
     out: dict = {}
@@ -525,7 +532,7 @@ def summarize(
         # floor (the level the >1.0 analysis shows misses its floor);
         # the campaign's own hi floor stays in the denominator.
         "cross_campaign_floor_substitution": _substitutions(
-            suspect + unreliable, lo, hi
+            suspect + unreliable, lo, hi, n
         ),
         "pass_0.8": bool(
             0.8 <= eff_wt <= sentinel

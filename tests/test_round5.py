@@ -1165,3 +1165,102 @@ def test_pack_corpus_ties_get_disjoint_offsets(spark):
         assert s1 != s2 or b1 <= a2        # no overlap within a shard
     assert (out["n_tokens"] == out["n_tokens"].iloc[0]).all()
     assert len(out) == 40
+
+
+# --------------------------------------------------------------------- #
+# review findings (round-5 self-review): null groups in the prefilter,
+# >64-domain join path, PII overlap counts, cores-filtered floors
+# --------------------------------------------------------------------- #
+
+def test_cap_prefilter_parity_with_null_groups(spark):
+    """A NULL group is a real group: the prefilter path's re-admission
+    joins must be null-safe, or an unsafe NULL group's rows silently
+    vanish (confirmed pre-fix: exact kept 25, prefilter kept 2)."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.sampling import cap_per_group
+
+    docs = spark.range(130).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 13 < 3, None).otherwise("host.com")
+        .alias("host"),
+    )
+    exact = cap_per_group(docs, "host", k=25, salt="n")
+    fast = cap_per_group(docs, "host", k=25, salt="n", prefilter=True,
+                         est_rows_per_group=2000)
+    assert exact.exceptAll(fast).count() == 0
+    assert fast.exceptAll(exact).count() == 0
+    assert fast.where("host is null").count() == 25
+
+
+def test_temperature_mix_many_domains_join_path(spark):
+    """Past 64 domains the rate table applies via a broadcast join, not
+    a when-chain: membership and rates must match the same independent
+    hashlib recompute the when-chain path is tested against."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.sampling import temperature_mix, temperature_rates
+
+    docs = spark.range(4_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 200).cast("string"))
+        .alias("host"),
+    )
+    out = temperature_mix(docs, "host", temperature=0.3, salt="j")
+    rows = docs.collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    rates = temperature_rates(counts, 0.3, 1.0, clamp=True)
+    expect = set()
+    for r in rows:
+        rate = rates[r["host"]]
+        thr = "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+        h = hashlib.md5(f"j|{r['host']}|{r['doc_id']}".encode()) \
+            .hexdigest()[:8]
+        if h < thr:
+            expect.add((r["host"], r["doc_id"]))
+    got = {(r["host"], r["doc_id"]) for r in out.collect()}
+    assert got == expect
+    # no helper columns leak
+    assert set(out.columns) == {"doc_id", "host", "mix_rate"}
+    # upsample through the join path keeps the epoch contract
+    up = temperature_mix(docs, "host", 0.0, salt="j", upsample=True)
+    assert "epoch" in up.columns and up.count() >= len(rows)
+
+
+def test_scrub_pii_no_double_count_on_overlap(spark):
+    """A match consumed by an earlier rule must not increment a later
+    rule's count: counts equal tags actually emitted."""
+    from cqf_spark.operators.cleaning import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "reach me: 555-123-4567@ex.com only")],
+        ["doc_id", "text"],
+    )
+    row = scrub_pii(df).collect()[0]
+    assert row["clean_text"] == "reach me: <EMAIL> only"
+    assert row["n_email"] == 1
+    assert row["n_phone"] == 0       # consumed by the email rule
+    assert row["clean_text"].count("<PHONE>") == row["n_phone"]
+
+
+def test_cross_campaign_floors_filter_by_cores(tmp_path):
+    """A log from a different-N campaign must not contribute floors:
+    records are filtered by their own cores field."""
+    import scaling_bench as sb
+
+    log = tmp_path / "alien.log"
+    log.write_text(
+        "[scaling] round 0: lo={'cores': 4, 'webtext_s': 1.0, 'core_s': 1.0}"
+        " hi={'cores': 16, 'webtext_s': 0.5, 'core_s': 0.5}\n"
+        "[scaling] round 1: lo={'cores': 2, 'webtext_s': 20.0, 'core_s': 30.0}"
+        " hi={'cores': 8, 'webtext_s': 5.0, 'core_s': 9.0}\n"
+    )
+    cf = sb.cross_campaign_floors(2, str(tmp_path))
+    assert cf["floors_s"] == {
+        "lo_webtext_s": 20.0, "lo_core_s": 30.0,
+        "hi_webtext_s": 5.0, "hi_core_s": 9.0,
+    }
