@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..functions.jpeg import JPEG_MAGIC, decode_jpeg
 from ..functions.png import PNG_MAGIC, decode_png
 from ..functions.wav import WAV_MAGIC, decode_wav, is_wav
+from ..functions.webp import WEBP_MAGIC, decode_webp, is_webp_lossless
 from ..functions.y4m import Y4M_MAGIC, decode_y4m
 
 META_SCHEMA = (
@@ -96,26 +97,30 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image(buf: bytes, width: int, height: int, strict: bool):
     """Image decode.  PNG bytes decode for REAL (functions/png.py), as
     do baseline JPEG bytes (functions/jpeg.py — numpy DCT + canonical
-    Huffman read from the stream's own tables); other formats fall
-    through to the declared stub."""
+    Huffman read from the stream's own tables) and lossless WebP/VP8L
+    (functions/webp.py — full transform set, meta-huffman, color cache,
+    LZ77); other formats fall through to the declared stub."""
     from ..functions.jpeg import decode_jpeg, is_jpeg
     from ..functions.png import decode_png, is_png
+    from ..functions.webp import decode_webp, is_webp_lossless
 
     if is_png(bytes(buf)):
         return decode_png(bytes(buf))
     if is_jpeg(bytes(buf)):
         return decode_jpeg(bytes(buf))
+    if is_webp_lossless(bytes(buf)):
+        return decode_webp(bytes(buf))
     return _decode_image_stub(buf, width, height, strict)
 
 
 def _decode_image_stub(buf: bytes, width: int, height: int, strict: bool):
-    """STUB for non-PNG/JPEG images: a real implementation would decode
-    the remaining formats (webp/heic/...) — no imaging library in this
-    container; PNG and baseline JPEG are handled for real by
-    :func:`decode_image`."""
+    """STUB for the remaining image formats: a real implementation would
+    decode lossy-VP8 WebP / heic / ... — no imaging library in this
+    container; PNG, baseline JPEG and lossless WebP are handled for real
+    by :func:`decode_image`."""
     if strict:
         raise NotImplementedError(
-            "non-PNG/JPEG image decode requires an imaging library"
+            "non-PNG/JPEG/VP8L image decode requires an imaging library"
         )
     # deterministic fake: tile the raw bytes into the declared shape
     need = width * height * 3
@@ -268,13 +273,22 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
             png_row = magic_rows(mtype == "image", PNG_MAGIC)
             jpg_row = magic_rows(mtype == "image", JPEG_MAGIC)
+            # WEBP_MAGIC is "RIFF" (shared with WAV): candidates refine
+            # through the full 16-byte is_webp_lossless check per item
+            webp_row = magic_rows(mtype == "image", WEBP_MAGIC)
             wav_row = magic_rows(mtype == "audio", WAV_MAGIC)
             y4m_row = magic_rows(mtype == "video", Y4M_MAGIC)
-            for i in np.flatnonzero(png_row | jpg_row):
+            for i in np.flatnonzero(png_row | jpg_row | webp_row):
                 # per-ITEM loops: decode is inherently per-item work;
                 # the batch dimension parallelizes it across the cluster
                 ibuf = raw[starts[i] : starts[i] + lens[i]].tobytes()
-                img = decode_png(ibuf) if png_row[i] else decode_jpeg(ibuf)
+                if webp_row[i]:
+                    if not is_webp_lossless(ibuf):
+                        webp_row[i] = False  # RIFF but not VP8L
+                        continue
+                    img = decode_webp(ibuf)
+                else:
+                    img = decode_png(ibuf) if png_row[i] else decode_jpeg(ibuf)
                 feat_dim[i] = img.size
                 pixel_mean[i] = round(float(img.mean()), 4)
             for i in np.flatnonzero(wav_row):
@@ -294,7 +308,7 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             if strict:  # undecodable formats still hit the declared stubs
                 for i in range(n):
                     if mtype[i] == "image" and not (
-                        png_row[i] or jpg_row[i]
+                        png_row[i] or jpg_row[i] or webp_row[i]
                     ):
                         _decode_image_stub(b"", 0, 0, strict=True)
                     elif mtype[i] == "audio" and not wav_row[i]:
