@@ -281,7 +281,8 @@ def merge_group_key(n_groups: int) -> Any:
     return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_groups))
 
 
-def tree_merge(sketch_df: Any, fan_in: int = 64) -> Cqf:
+def tree_merge(sketch_df: Any, fan_in: int = 64,
+               n_blobs: int | None = None) -> Cqf:
     """UDAF *merge* phase: k-way merge of sketch blobs (qf_multi_merge
     semantics, src/gqf.c:2479-2544).
 
@@ -301,7 +302,13 @@ def tree_merge(sketch_df: Any, fan_in: int = 64) -> Cqf:
     from pyspark.sql import functions as F
 
     df = sketch_df.select("sketch")
-    n = df.rdd.getNumPartitions()
+    # blob count gates the executor rounds.  getNumPartitions is EXACT
+    # for build_sketches output (one blob row per input partition, no
+    # extra job) but wrong for re-read frames (a parquet scan's split
+    # count tracks file sizes, not rows) — those callers pass n_blobs
+    # explicitly (checkpoint.py) so 100k compacted blobs still take the
+    # executor rounds instead of a driver-side collect.
+    n = n_blobs if n_blobs is not None else df.rdd.getNumPartitions()
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sks = [Cqf.from_bytes(bytes(b)) for b in pdf["sketch"]]
@@ -357,6 +364,12 @@ def count_udf(spark: Any, sketch: Cqf):
     def _count(keys: pd.Series) -> pd.Series:
         sk = _cached_sketch(blob.value)
         h = hash_series(keys, config)
+        if config.value_bits:
+            # sketch content is value-packed (build_sketches shifts the
+            # key hash by value_bits): probe at value 0, matching
+            # Cqf.count's default — an unshifted probe would compare a
+            # raw key hash against packed hashes and always miss
+            h = h << np.uint64(config.value_bits)
         # keys are hashed here, then counted against pre-hashed content
         out = sk.count_hashes(h).astype(np.int64)
         out[keys.isna().to_numpy()] = 0
@@ -378,6 +391,8 @@ def contains_udf(spark: Any, sketch: Cqf):
     def _contains(keys: pd.Series) -> pd.Series:
         sk = _cached_sketch(blob.value)
         h = hash_series(keys, config)
+        if config.value_bits:
+            h = h << np.uint64(config.value_bits)  # see _count
         out = sk.count_hashes(h) > 0
         out[keys.isna().to_numpy()] = False
         return pd.Series(out)

@@ -197,11 +197,31 @@ class CheckpointedBuild:
             lineage = (
                 self.spark.read.parquet(epoch_dir).drop("sketch").collect()
             )
+            built_pids = set()
             for r in lineage:
                 d = r.asDict()
                 d["epoch"] = next_epoch
                 partial_rows.append(d)
                 valid[int(d["part_id"])] = next_epoch
+                built_pids.add(int(d["part_id"]))
+            # EMPTY partitions produce no parquet row (their part_id=-1
+            # markers are filtered above) — without a manifest row they
+            # would re-enter `missing` forever: every later aggregate()
+            # on unchanged input would re-scan, write a zero-row epoch
+            # and rewrite the manifest.  Record them as validated empties
+            # (blob_hash None validates trivially: _stored_hashes has no
+            # entry for them either).
+            for pid in missing:
+                if pid not in built_pids:
+                    partial_rows.append(
+                        {
+                            "part_id": pid, "epoch": next_epoch,
+                            "nelts": 0, "ndistinct": 0, "noccupied": 0,
+                            "qbits": 0, "load": 0.0, "n_rows": 0,
+                            "build_s": 0.0, "blob_hash": None,
+                        }
+                    )
+                    valid[pid] = next_epoch
             self._write_manifest(
                 {
                     "signature": sig,
@@ -218,12 +238,30 @@ class CheckpointedBuild:
             )
             self._prune_unreferenced(set(valid.values()))
 
-        # merge every validated (part_id, epoch) blob — executor-side tree
-        pairs = [[pid, ep] for pid, ep in sorted(valid.items())]
+        # merge every validated (part_id, epoch) blob — executor-side
+        # tree.  Validated EMPTIES have no blob row (the join drops
+        # them); an all-empty input merges to the canonical empty sketch
+        # instead of crashing the parquet read / tree merge.
+        pairs = [
+            [pid, ep]
+            for pid, ep in sorted(valid.items())
+            if any(
+                r["part_id"] == pid and r["blob_hash"] is not None
+                for r in partial_rows
+            )
+        ]
+        if not pairs:
+            from .core import Cqf
+
+            return Cqf.empty(config, 6)
         all_partials = self.spark.read.parquet(_partials_path(self.ckpt_dir))
         keep = self.spark.createDataFrame(pairs, "part_id int, epoch int")
         chosen = all_partials.join(F.broadcast(keep), ["part_id", "epoch"])
-        return tree_merge(chosen)
+        # blob count is known exactly here; tree_merge must not infer it
+        # from the parquet split count (review r5: 100k blobs compacting
+        # into a few files would skip the executor rounds and collect
+        # everything onto the driver)
+        return tree_merge(chosen, n_blobs=len(pairs))
 
     def _prune_unreferenced(self, live_epochs: set[int]) -> None:
         """Drop epoch directories no manifest row references."""

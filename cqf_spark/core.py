@@ -983,14 +983,34 @@ class Cqf:
         od = other._decode()
         return self._apply_delta(od.hashes, -od.counts.astype(np.int64))
 
-    def intersect(self, other: "Cqf", qbits: int | None = None) -> "Cqf":
+    def intersect(
+        self,
+        other: "Cqf",
+        qbits: int | None = None,
+        counts_from: str | None = None,
+    ) -> "Cqf":
         """qf_intersect (src/gqf.c:2583-2613): keep hashes present in both.
 
         The reference iterates the *larger* filter and keeps its counts
         (src/gqf.c:2596-2612); we match that tie-break on serialized size.
+        ``counts_from`` ("self"/"other") overrides it — ShardedCqf
+        resolves the tie-break GLOBALLY (total bytes across shards) so a
+        shard where the local size order happens to flip cannot mix the
+        two sketches' counts in one result.
         """
         Cqf._check_mergeable([self, other])
-        big = self if self.total_size_in_bytes > other.total_size_in_bytes else other
+        if counts_from == "self":
+            big = self
+        elif counts_from == "other":
+            big = other
+        elif counts_from is None:
+            big = (
+                self
+                if self.total_size_in_bytes > other.total_size_in_bytes
+                else other
+            )
+        else:
+            raise ValueError("counts_from must be 'self', 'other' or None")
         a, b = big._decode(), (other if big is self else self)._decode()
         common, ia, _ = np.intersect1d(
             a.hashes, b.hashes, assume_unique=True, return_indices=True

@@ -272,10 +272,23 @@ class ShardedCqf:
             )
         from pyspark.sql import functions as F
 
+        # the keep-whose-counts tie-break (reference: iterate the LARGER
+        # filter, src/gqf.c:2596) must be resolved once GLOBALLY: decided
+        # per shard, a shard whose local size order flips would keep the
+        # other sketch's counts and the result would mix the two
+        def _total(df: Any) -> int:
+            return int(
+                df.select(F.sum(F.length("sketch"))).collect()[0][0] or 0
+            )
+
+        counts_from = (
+            "self" if _total(self.df) > _total(other.df) else "other"
+        )
+
         def _intersect(pdf: pd.DataFrame) -> pd.DataFrame:
             a = Cqf.from_bytes(bytes(pdf["sketch_a"].iloc[0]))
             b = Cqf.from_bytes(bytes(pdf["sketch_b"].iloc[0]))
-            m = a.intersect(b)
+            m = a.intersect(b, counts_from=counts_from)
             if m.ndistinct == 0:
                 return pd.DataFrame(
                     {c: pd.Series(dtype=t) for c, t in (
@@ -396,6 +409,8 @@ class ShardedCqf:
                     sk = cache[int(s)] = Cqf.from_bytes(blob)
                 m = shards == s
                 out[m] = sk.count_hashes(local[m]).astype(np.int64)
+            # null keys hash as ""/0 (hashing.py contract: callers mask)
+            out[keys.isna().to_numpy()] = 0
             return pd.Series(out)
 
         _count._cache = {}  # type: ignore[attr-defined]
@@ -448,7 +463,14 @@ class ShardedCqf:
                     h = h << np.uint64(vb)
                 pdf = pdf[[key_col]].copy()
                 pdf["shard"] = (h >> np.uint64(shift)).astype(np.int64)
-                pdf["salt"] = (h % np.uint64(n_salt)).astype(np.int32)
+                # salt from the bits ABOVE the value field: with
+                # value_bits > 0 the low vb bits of h are always zero, so
+                # h % n_salt would collapse every probe into salt 0 for
+                # any power-of-two n_salt <= 2^vb — exactly the skew the
+                # salt exists to prevent
+                pdf["salt"] = (
+                    (h >> np.uint64(vb)) % np.uint64(n_salt)
+                ).astype(np.int32)
                 # the full hash rides the shuffle as ONE extra long so the
                 # grouped task never re-hashes the key strings (VERDICT r4
                 # #5); int64 view is lossless, the probe side views it back
@@ -486,6 +508,9 @@ class ShardedCqf:
                 # shard reuse one decoded sketch
                 sk = _cached_sketch(bytes(right["sketch"].iloc[0]))
                 counts = sk.count_hashes(h & local_mask).astype(np.int64)
+            # null keys hash as ""/0: report 0, not key-0's count (the
+            # SQL-COUNT null semantics the oracles mirror)
+            counts[keys.isna().to_numpy()] = 0
             return pd.DataFrame({key_col: keys, "approx_count": counts})
 
         return (
@@ -547,10 +572,13 @@ class ShardedCqf:
                 )
             keys = np.concatenate(keys_parts)
             counts = np.concatenate(cnt_parts)
-            if len(keys_parts) > 1:  # defensive: coalesce duplicate keys
-                uk, inv = np.unique(keys, return_inverse=True)
-                counts = np.bincount(inv, weights=counts).astype(np.int64)
-                keys = uk
+            # coalesce duplicate keys ALWAYS, not only across blobs: with
+            # value_bits > 0 a key inserted under several values decodes
+            # as several rows of ONE blob, and leaving them split would
+            # under-rank multi-valued keys
+            uk, inv = np.unique(keys, return_inverse=True)
+            counts = np.bincount(inv, weights=counts).astype(np.int64)
+            keys = uk
             order = np.lexsort((keys, -counts))[:k]
             return pd.DataFrame({"key": keys[order], "count": counts[order]})
 

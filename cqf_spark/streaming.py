@@ -120,13 +120,15 @@ class StreamingSketchBuilder:
         meta, base, delta = self._load_state()
         if batch_id <= meta["last_batch_id"]:
             return  # replayed batch after restart: already applied
-        n = batch_df.count()
-        if n:
-            part = tree_merge(build_sketches(batch_df, key_col, self.config))
+        # ONE pass over the batch: build unconditionally and read the
+        # batch size off the sketch itself — a separate count() job would
+        # scan every micro-batch twice (review r5)
+        part = tree_merge(build_sketches(batch_df, key_col, self.config))
+        if part.nelts:
             delta = part if delta is None else delta.merge(part)
         elif delta is None and base is None:
-            # commit an empty sketch so current() is non-None after batch 0
-            delta = tree_merge(build_sketches(batch_df, key_col, self.config))
+            # commit the empty sketch so current() is non-None after batch 0
+            delta = part
         if delta is not None and (
             base is None
             or delta.ndistinct >= _COMPACT_FRACTION * max(base.ndistinct, 1)
@@ -139,7 +141,7 @@ class StreamingSketchBuilder:
                 **meta,
                 "last_batch_id": batch_id,
                 "batches": meta["batches"] + 1,
-                "rows": meta["rows"] + n,
+                "rows": meta["rows"] + int(part.nelts),
             },
             base,
             delta,
@@ -233,9 +235,14 @@ def grouped_streaming_sketches(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # group dtype follows the input column (an int group column would
+    # fail Arrow conversion against a hardcoded string field)
+    _gtype = dict(stream_df.dtypes)[group_col]
     return stream_df.groupBy(group_col).applyInPandasWithState(
         update,
-        outputStructType="group string, sketch binary, nelts long, ndistinct long",
+        outputStructType=(
+            f"group {_gtype}, sketch binary, nelts long, ndistinct long"
+        ),
         stateStructType="base binary, delta binary",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -342,10 +349,11 @@ def grouped_streaming_sketches_tws(
         def close(self) -> None:
             pass
 
+    _gtype = dict(stream_df.dtypes)[group_col]
     return stream_df.groupBy(group_col).transformWithStateInPandas(
         statefulProcessor=SketchLsmProcessor(),
         outputStructType=(
-            "group string, sketch binary, nelts long, ndistinct long"
+            f"group {_gtype}, sketch binary, nelts long, ndistinct long"
         ),
         outputMode="Update",
         timeMode="None",

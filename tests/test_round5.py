@@ -1264,3 +1264,185 @@ def test_cross_campaign_floors_filter_by_cores(tmp_path):
         "lo_webtext_s": 20.0, "lo_core_s": 30.0,
         "hi_webtext_s": 5.0, "hi_core_s": 9.0,
     }
+
+
+# --------------------------------------------------------------------- #
+# review findings round 2 (core modules): value_bits probes, null probes,
+# salt bits, heavy-hitter coalescing, global intersect tie-break,
+# checkpoint empty-partition convergence
+# --------------------------------------------------------------------- #
+
+def test_broadcast_udfs_value_bits_probe(spark):
+    """count_udf/contains_udf must probe value-PACKED sketches (the
+    pre-fix probe compared raw key hashes and always missed)."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.aggregator import contains_udf, count_udf, cqf_aggregate
+
+    cfg = CqfConfig(key_bits=40, value_bits=3, seed=9)
+    df = spark.range(500).select((F.col("id") % 100).alias("k"))
+    sk = cqf_aggregate(df, "k", cfg)
+    probe = spark.range(120).select(F.col("id").alias("k"))
+    got = {r["k"]: r["c"] for r in probe.select(
+        "k", count_udf(spark, sk)(F.col("k")).alias("c")).collect()}
+    assert all(got[k] == 5 for k in range(100))
+    member = {r["k"]: r["m"] for r in probe.select(
+        "k", contains_udf(spark, sk)(F.col("k")).alias("m")).collect()}
+    assert all(member[k] for k in range(100))  # no false negatives
+
+
+def test_sharded_null_probes_and_value_bits(spark):
+    """Null probe keys return 0 (not key-0's count) through BOTH probe
+    paths, and value-packed sharded sketches still salt their probes
+    (pre-fix: h % n_salt on vb low-zero bits collapsed to salt 0)."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.sharded import ShardedCqf
+
+    cfg = CqfConfig(key_bits=40, value_bits=3, seed=9)
+    build = spark.range(400).select(
+        F.concat(F.lit("k"), (F.col("id") % 80).cast("string")).alias("k")
+    )
+    sk = ShardedCqf.aggregate(build, "k", cfg, n_shards=4)
+    try:
+        probes = spark.createDataFrame(
+            [("k3",), ("k79",), (None,), ("absent",)], "k string"
+        )
+        u = {r["k"]: r["c"] for r in probes.select(
+            "k", sk.count_udf(spark)(F.col("k")).alias("c")).collect()}
+        assert u["k3"] == 5 and u["k79"] == 5
+        assert u[None] == 0 and u["absent"] == 0
+        j = {r["k"]: r["approx_count"]
+             for r in sk.count_join(probes, "k").collect()}
+        assert j["k3"] == 5 and j["k79"] == 5
+        assert j[None] == 0 and j["absent"] == 0
+    finally:
+        sk.df.unpersist()
+
+
+def test_sharded_heavy_hitters_coalesces_values(spark):
+    """A key inserted under several VALUES decodes as several rows of one
+    blob; its total count must rank it, not its per-value slices."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.sharded import ShardedCqf
+
+    from cqf_spark.core import hash_keys
+    from cqf_spark.sharded import shard_partials
+
+    cfg = CqfConfig(key_bits=40, value_bits=2,
+                    hash_mode=HashMode.INVERTIBLE, seed=3)
+    # key 7: 3 values x 4 each = 12 total; keys 1..5: 10 each single-value
+    pairs = [(7, v) for v in (0, 1, 2) for _ in range(4)]
+    for k in range(1, 6):
+        pairs += [(k, 0)] * 10
+    keys = np.array([p[0] for p in pairs], dtype=np.uint64)
+    vals = np.array([p[1] for p in pairs], dtype=np.uint64)
+    h = (hash_keys(keys, cfg) << np.uint64(cfg.value_bits)) | vals
+    rb = shard_partials(h, None, cfg, 4)
+    rows = [tuple(col[i].as_py() for col in rb.columns)
+            for i in range(rb.num_rows)]
+    sdf = spark.createDataFrame(
+        rows, "shard int, sketch binary, nelts long, ndistinct long, "
+        "n_rows long"
+    )
+    sk = ShardedCqf(sdf, cfg, 4)
+    got = sk.heavy_hitters_df(1).collect()
+    assert got[0]["key"] == 7 and got[0]["count"] == 12
+
+
+def test_sharded_intersect_global_tiebreak(spark):
+    """The keep-whose-counts side is decided once globally: the sharded
+    intersect's counts must equal single-node intersect of the merged
+    wholes even when a shard's local size order flips."""
+    import numpy as np
+
+    from cqf_spark.core import Cqf
+    from cqf_spark.sharded import ShardedCqf
+
+    cfg = CqfConfig(key_bits=40, hash_mode=HashMode.INVERTIBLE, seed=5)
+    rng = np.random.default_rng(0)
+    shared = rng.integers(1, 2**30, 600, dtype=np.uint64)
+    only_a = rng.integers(2**30, 2**31, 4000, dtype=np.uint64)
+    a_keys = np.concatenate([np.repeat(shared, 3), only_a])  # A bigger
+    b_keys = np.repeat(shared, 7)                            # B smaller
+    dfa = spark.createDataFrame([(int(k),) for k in a_keys], "key long")
+    dfb = spark.createDataFrame([(int(k),) for k in b_keys], "key long")
+    sa = ShardedCqf.aggregate(dfa, "key", cfg, n_shards=8)
+    sb_ = ShardedCqf.aggregate(dfb, "key", cfg, n_shards=8)
+    try:
+        inter = sa.intersect(sb_)
+        got = [r["count"] for r in inter.items_df().collect()]
+        whole = Cqf.from_keys(cfg, a_keys).intersect(Cqf.from_keys(cfg, b_keys))
+        _kh, _v, cnts = whole.items()
+        # A is globally larger -> every intersected count must be A's (3),
+        # in every shard, matching the single-node whole-sketch intersect
+        assert len(got) == len(shared) and set(got) == {3}
+        assert (cnts == 3).all() and len(cnts) == len(shared)
+    finally:
+        sa.df.unpersist()
+        sb_.df.unpersist()
+
+
+def test_checkpoint_converges_with_empty_partitions(spark, tmp_path):
+    """An empty/null-only partition must validate after one build: the
+    second aggregate() on unchanged input does zero rebuilds and the
+    epoch counter stops advancing."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.checkpoint import CheckpointedBuild
+
+    cfg = CqfConfig(key_bits=40, seed=11)
+    # partition by an id range so partition 3 is entirely null keys
+    df = spark.range(400).repartition(4).select(
+        F.when(F.col("id") % 4 == 3, None)
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("k")
+    )
+    agg = CheckpointedBuild(spark, str(tmp_path / "ck"))
+    s1 = agg.aggregate(df, "k", cfg)
+    m1 = agg._load_manifest()
+    s2 = agg.aggregate(df, "k", cfg)
+    m2 = agg._load_manifest()
+    assert s1.to_bytes() == s2.to_bytes()
+    assert m2["next_epoch"] == m1["next_epoch"]      # no doomed epochs
+    assert m2["rebuilt_partitions"] == m1["rebuilt_partitions"]
+    # all-empty input returns the canonical empty sketch, no crash
+    empty = spark.createDataFrame([], "k string")
+    agg2 = CheckpointedBuild(spark, str(tmp_path / "ck2"))
+    s = agg2.aggregate(empty, "k", cfg)
+    assert s.ndistinct == 0
+
+
+def test_streaming_int_group_column(spark, tmp_path):
+    """grouped_streaming_sketches must accept a non-string group col."""
+    import time as _t
+
+    from cqf_spark.streaming import grouped_streaming_sketches
+
+    cfg = CqfConfig(key_bits=40, seed=13)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200")
+        .load()
+        .selectExpr("value % 3 as grp", "cast(value % 17 as string) as k")
+    )
+    q = (
+        grouped_streaming_sketches(stream, "grp", "k", cfg)
+        .writeStream.format("memory").queryName("int_grp")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "s"))
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("select count(*) c from int_grp").collect()[0]["c"]
+            if n >= 3:
+                break
+            _t.sleep(1)
+        rows = spark.sql("select * from int_grp").collect()
+        assert {r["group"] for r in rows} >= {0, 1, 2}
+        assert all(isinstance(r["group"], int) for r in rows)
+    finally:
+        q.stop()
