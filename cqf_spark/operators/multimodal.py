@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.jpeg import JPEG_MAGIC, decode_jpeg
+from ..functions.mp3 import demux_mp3, is_mp3
+from ..functions.mp4 import demux_mp4, is_mp4
 from ..functions.png import PNG_MAGIC, decode_png
 from ..functions.wav import WAV_MAGIC, decode_wav, is_wav
 from ..functions.webp import WEBP_MAGIC, decode_webp, is_webp_lossless
@@ -305,15 +307,34 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 )
                 feat_dim[i] = frames.shape[0]
                 pixel_mean[i] = round(float(frames.mean()), 4)
+            # mp3/mp4: real DEMUX (frame/sample boundaries + duration),
+            # payload stays undecoded — feat_dim is the true container
+            # frame count, pixel_mean stays NaN (no decoded samples)
+            mp3_row = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero((mtype == "audio") & ~wav_row):
+                buf = raw[starts[i] : starts[i] + lens[i]].tobytes()
+                if is_mp3(buf):
+                    mp3_row[i] = True
+                    feat_dim[i] = demux_mp3(buf)["n_frames"]
+            mp4_row = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero((mtype == "video") & ~y4m_row):
+                buf = raw[starts[i] : starts[i] + lens[i]].tobytes()
+                if is_mp4(buf):
+                    mp4_row[i] = True
+                    feat_dim[i] = demux_mp4(buf)["n_samples"]
             if strict:  # undecodable formats still hit the declared stubs
                 for i in range(n):
                     if mtype[i] == "image" and not (
                         png_row[i] or jpg_row[i] or webp_row[i]
                     ):
                         _decode_image_stub(b"", 0, 0, strict=True)
-                    elif mtype[i] == "audio" and not wav_row[i]:
+                    elif mtype[i] == "audio" and not (
+                        wav_row[i] or mp3_row[i]
+                    ):
                         _decode_audio_stub(b"", strict=True)
-                    elif mtype[i] == "video" and not y4m_row[i]:
+                    elif mtype[i] == "video" and not (
+                        y4m_row[i] or mp4_row[i]
+                    ):
                         _decode_video_stub(b"", strict=True)
             yield pd.DataFrame(
                 {
