@@ -242,13 +242,11 @@ class CheckpointedBuild:
         # tree.  Validated EMPTIES have no blob row (the join drops
         # them); an all-empty input merges to the canonical empty sketch
         # instead of crashing the parquet read / tree merge.
+        has_blob = {
+            r["part_id"] for r in partial_rows if r["blob_hash"] is not None
+        }
         pairs = [
-            [pid, ep]
-            for pid, ep in sorted(valid.items())
-            if any(
-                r["part_id"] == pid and r["blob_hash"] is not None
-                for r in partial_rows
-            )
+            [pid, ep] for pid, ep in sorted(valid.items()) if pid in has_blob
         ]
         if not pairs:
             from .core import Cqf

@@ -12,9 +12,10 @@ Kraft-incomplete prefix codes (liberal-in-what-you-accept; every
 conformant stream is complete, so this only widens acceptance).
 
 Encoder scope (tests/synthesis): conformant no-transform, no-cache,
-single-group streams — every used symbol gets one uniform code length
-(a valid canonical code the decoder and any spec decoder can read), and
-the code-length code is the 1-bit two-symbol code over {0, L}.  The
+single-group streams — each channel gets a Kraft-COMPLETE canonical
+code over at most two lengths (_complete_lengths), so strict
+table-building decoders (libwebp) accept the output, and the
+code-length code is itself complete ({0, L} 1-bit or {0, La, Lb}).  The
 fancier decoder paths (backrefs, cache, transforms, RLE) are pinned by
 hand-built byte-level streams with pen-and-paper pixels in the tests —
 the same discipline as the JPEG codec (functions/jpeg.py).
@@ -339,8 +340,11 @@ def _apply_inverse_transforms(argb: np.ndarray, transforms) -> np.ndarray:
                         TR = (
                             chans(out[y - 1, x + 1])
                             if x + 1 < w
-                            else chans(out[y - 1, 0])  # spec: wraps to
-                            # the leftmost pixel of the same row above
+                            # In the spec's contiguous-buffer addressing,
+                            # index (y-1)*w + (x+1) at x == w-1 is y*w,
+                            # i.e. the CURRENT row's leftmost (already
+                            # decoded) pixel, not the row above's.
+                            else chans(out[y, 0])
                         )
                         if mode == 0:
                             pred = np.array([0xFF, 0, 0, 0], dtype=np.int64)
@@ -368,12 +372,19 @@ def _apply_inverse_transforms(argb: np.ndarray, transforms) -> np.ndarray:
                             p = L + T - TL
                             pl = np.abs(p - L).sum()
                             pt = np.abs(p - T).sum()
-                            pred = L if pl <= pt else T
+                            # Ties go to T (libwebp Select returns the
+                            # top pixel when pa_minus_pb <= 0).
+                            pred = L if pl < pt else T
                         elif mode == 12:  # clamp add subtract full
                             pred = np.clip(L + T - TL, 0, 255)
                         elif mode == 13:  # clamp add subtract half
                             a = avg2(L, T)
-                            pred = np.clip(a + (a - TL) // 2, 0, 255)
+                            # (a - TL) / 2 with C semantics: truncation
+                            # toward zero, not Python floor division.
+                            d = a - TL
+                            pred = np.clip(
+                                a + np.sign(d) * (np.abs(d) >> 1), 0, 255
+                            )
                         else:
                             raise ValueError(f"bad predictor mode {mode}")
                     out[y, x] = pack(chans(res[y, x]) + pred)
@@ -468,13 +479,14 @@ def decode_webp(data: bytes) -> np.ndarray:
 
 
 def _write_code(bw: _BitWriter, lengths) -> dict:
-    """Emit a prefix code whose used symbols all share ONE length L (a
-    valid canonical code); returns symbol -> (code, L).  The code-length
-    code is the two-symbol 1-bit code over {0, L} (complete), or the
-    single-symbol code when every symbol is used."""
+    """Emit a prefix code over at most TWO distinct code lengths; returns
+    symbol -> (code, length) under the spec's canonical assignment (the
+    same (length, symbol)-ordered walk _Huff performs).  With lengths from
+    _complete_lengths the code is Kraft-complete, so strict table-building
+    decoders (libwebp's BuildHuffmanTable) accept the stream.  The
+    code-length code is the 1-bit {0, L} code for one data length, or the
+    complete {0:'0', La:'10', Lb:'11'} code for two."""
     used = [s for s, l in enumerate(lengths) if l > 0]
-    L = lengths[used[0]]
-    assert all(lengths[s] == L for s in used)
     if len(used) == 1:
         bw.write(1, 1)  # simple
         bw.write(0, 1)  # one symbol
@@ -492,21 +504,57 @@ def _write_code(bw: _BitWriter, lengths) -> dict:
         bw.write(used[0], 8)
         bw.write(used[1], 8)
         return {used[0]: (0, 1), used[1]: (1, 1)}
-    # full mode: CL code over {0, L}: both length 1
+    # full mode: code-length code over {0} + the distinct data lengths
+    ds = sorted({lengths[s] for s in used})
     bw.write(0, 1)
     cl_lengths = [0] * 19
     cl_lengths[0] = 1
-    cl_lengths[L] = 1
-    ncl = 19  # emit all positions so both symbols are covered
+    if len(ds) == 1:
+        cl_lengths[ds[0]] = 1
+        cl_codes = {0: (0, 1), ds[0]: (1, 1)}
+    else:
+        cl_lengths[ds[0]] = 2
+        cl_lengths[ds[1]] = 2
+        cl_codes = {0: (0, 1), ds[0]: (2, 2), ds[1]: (3, 2)}
+    ncl = 19  # emit all positions so every CL symbol is covered
     bw.write(ncl - 4, 4)
     for i in range(ncl):
         bw.write(cl_lengths[_CL_ORDER[i]], 3)
-    # canonical 1-bit codes: symbol 0 -> 0, symbol L -> 1
     bw.write(0, 1)  # no max-symbol bound
     for s in range(len(lengths)):
-        bw.write(0 if lengths[s] == 0 else 1, 1)
-    # canonical codes for the data code itself: used symbols in order
-    return {s: (i, L) for i, s in enumerate(used)}
+        c, cl = cl_codes[lengths[s]]
+        for i in range(cl - 1, -1, -1):
+            bw.write((c >> i) & 1, 1)
+    # canonical data codes in (length, symbol) order
+    nz = sorted((lengths[s], s) for s in used)
+    table = {}
+    code, prev = 0, nz[0][0]
+    for length, sym in nz:
+        code <<= length - prev
+        prev = length
+        table[sym] = (code, length)
+        code += 1
+    return table
+
+
+def _complete_lengths(used, alphabet: int) -> list:
+    """Kraft-COMPLETE code lengths for ``used`` symbols: with L =
+    ceil(log2 n), the first 2^L - n symbols take length L-1 and the rest
+    L, so sum(2^-len) == 1 exactly (n power of two -> uniform L)."""
+    used = sorted(int(s) for s in used)
+    n = len(used)
+    lengths = [0] * alphabet
+    if n == 1:
+        lengths[used[0]] = 1  # simple single-symbol code
+    elif n == 2:
+        for s in used:
+            lengths[s] = 1
+    else:
+        L = int(np.ceil(np.log2(n)))
+        m = (1 << L) - n
+        for j, s in enumerate(used):
+            lengths[s] = L - 1 if j < m else L
+    return lengths
 
 
 def _emit(bw: _BitWriter, table: dict, sym: int) -> None:
@@ -517,9 +565,8 @@ def _emit(bw: _BitWriter, table: dict, sym: int) -> None:
 
 def encode_webp_lossless(arr: np.ndarray) -> bytes:
     """Encode (h, w, 3|4) uint8 as a conformant no-transform VP8L
-    stream: single huffman group, no cache, literals only; every used
-    symbol of a channel shares one code length (ceil(log2(n_used)),
-    min 1)."""
+    stream: single huffman group, no cache, literals only; per-channel
+    Kraft-complete two-length canonical codes (_complete_lengths)."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] not in (3, 4):
         raise ValueError("need (h, w, 3|4) uint8")
@@ -539,17 +586,6 @@ def encode_webp_lossless(arr: np.ndarray) -> bytes:
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta huffman
 
-    def lengths_for(vals, alphabet):
-        used = np.unique(vals)
-        L = max(1, int(np.ceil(np.log2(len(used))))) if len(used) > 1 else 1
-        lengths = [0] * alphabet
-        if len(used) == 1:
-            lengths[int(used[0])] = 1  # single-symbol simple code
-        else:
-            for s in used:
-                lengths[int(s)] = L
-        return lengths
-
     tables = []
     for vals, alphabet in (
         (g, 256 + 24),
@@ -558,7 +594,9 @@ def encode_webp_lossless(arr: np.ndarray) -> bytes:
         (alpha, 256),
         (np.zeros(1, np.uint8), 40),  # distance: never emitted
     ):
-        tables.append(_write_code(bw, lengths_for(vals.ravel(), alphabet)))
+        tables.append(
+            _write_code(bw, _complete_lengths(np.unique(vals), alphabet))
+        )
     tg, tr, tb, ta, _ = tables
     gf, rf, bf, af = g.ravel(), r.ravel(), b.ravel(), alpha.ravel()
     for i in range(h * w):

@@ -284,13 +284,25 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 # per-ITEM loops: decode is inherently per-item work;
                 # the batch dimension parallelizes it across the cluster
                 ibuf = raw[starts[i] : starts[i] + lens[i]].tobytes()
-                if webp_row[i]:
-                    if not is_webp_lossless(ibuf):
-                        webp_row[i] = False  # RIFF but not VP8L
-                        continue
-                    img = decode_webp(ibuf)
-                else:
-                    img = decode_png(ibuf) if png_row[i] else decode_jpeg(ibuf)
+                if webp_row[i] and not is_webp_lossless(ibuf):
+                    webp_row[i] = False  # RIFF but not VP8L
+                    continue
+                try:
+                    if webp_row[i]:
+                        img = decode_webp(ibuf)
+                    elif png_row[i]:
+                        img = decode_png(ibuf)
+                    else:
+                        img = decode_jpeg(ibuf)
+                except Exception:
+                    # signature matched but the body is truncated or
+                    # malformed: one bad crawl item must not kill the
+                    # task — degrade to the metadata stub (strict mode
+                    # keeps the error)
+                    if strict:
+                        raise
+                    png_row[i] = jpg_row[i] = webp_row[i] = False
+                    continue
                 feat_dim[i] = img.size
                 pixel_mean[i] = round(float(img.mean()), 4)
             for i in np.flatnonzero(wav_row):
@@ -298,13 +310,25 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 if not is_wav(buf):  # "RIFF" prefix but not WAVE
                     wav_row[i] = False
                     continue
-                pcm = decode_wav(buf)[0]
+                try:
+                    pcm = decode_wav(buf)[0]
+                except Exception:
+                    if strict:
+                        raise
+                    wav_row[i] = False
+                    continue
                 feat_dim[i] = pcm.size
                 pixel_mean[i] = round(float(pcm.mean()), 4)
             for i in np.flatnonzero(y4m_row):
-                frames = decode_y4m(
-                    raw[starts[i] : starts[i] + lens[i]].tobytes()
-                )
+                try:
+                    frames = decode_y4m(
+                        raw[starts[i] : starts[i] + lens[i]].tobytes()
+                    )
+                except Exception:
+                    if strict:
+                        raise
+                    y4m_row[i] = False
+                    continue
                 feat_dim[i] = frames.shape[0]
                 pixel_mean[i] = round(float(frames.mean()), 4)
             # mp3/mp4: real DEMUX (frame/sample boundaries + duration),
@@ -314,14 +338,24 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             for i in np.flatnonzero((mtype == "audio") & ~wav_row):
                 buf = raw[starts[i] : starts[i] + lens[i]].tobytes()
                 if is_mp3(buf):
-                    mp3_row[i] = True
-                    feat_dim[i] = demux_mp3(buf)["n_frames"]
+                    try:
+                        feat_dim[i] = demux_mp3(buf)["n_frames"]
+                        mp3_row[i] = True
+                    except Exception:
+                        if strict:
+                            raise
             mp4_row = np.zeros(n, dtype=bool)
             for i in np.flatnonzero((mtype == "video") & ~y4m_row):
                 buf = raw[starts[i] : starts[i] + lens[i]].tobytes()
                 if is_mp4(buf):
-                    mp4_row[i] = True
-                    feat_dim[i] = demux_mp4(buf)["n_samples"]
+                    # is_mp4 only vouches for the 12-byte ftyp header: a
+                    # truncated moov must degrade, not abort the job
+                    try:
+                        feat_dim[i] = demux_mp4(buf)["n_samples"]
+                        mp4_row[i] = True
+                    except Exception:
+                        if strict:
+                            raise
             if strict:  # undecodable formats still hit the declared stubs
                 for i in range(n):
                     if mtype[i] == "image" and not (

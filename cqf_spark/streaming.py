@@ -122,7 +122,11 @@ class StreamingSketchBuilder:
             return  # replayed batch after restart: already applied
         # ONE pass over the batch: build unconditionally and read the
         # batch size off the sketch itself — a separate count() job would
-        # scan every micro-batch twice (review r5)
+        # scan every micro-batch twice (review r5).  NOTE the metric
+        # semantics: meta["rows"] counts the rows that ENTER the sketch
+        # (non-null keys — build_sketches filters key IS NOT NULL), not
+        # raw micro-batch rows; reconcile against the source minus its
+        # null keys.
         part = tree_merge(build_sketches(batch_df, key_col, self.config))
         if part.nelts:
             delta = part if delta is None else delta.merge(part)

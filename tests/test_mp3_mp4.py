@@ -122,3 +122,34 @@ def test_spark_extract_features_demuxes_mp3_mp4(spark):
     # demux only, no decode: NaN -> SQL null through Arrow
     assert out[0]["pixel_mean"] is None
     assert out[1]["pixel_mean"] is None
+
+
+def test_spark_extract_features_degrades_on_truncated_bodies(spark):
+    """A signature match with a broken body (ftyp but no moov; PNG magic
+    with garbage chunks) must degrade to the metadata stub in non-strict
+    mode — one bad crawl item cannot abort the task — and still raise in
+    strict mode."""
+    from cqf_spark.operators.multimodal import extract_features
+
+    bad_mp4 = b"\x00\x00\x00\x0cftypisom" + b"\x00" * 64  # no moov
+    bad_png = bytes.fromhex("89504e470d0a1a0a") + b"\xff" * 64
+    rows = [
+        (0, "video", bad_mp4,
+         (len(bad_mp4), None, None, None, None, 9, None)),
+        (1, "image", bad_png,
+         (len(bad_png), 4, 3, 3, None, None, None)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, media binary, "
+        "meta struct<size_bytes: long, width: int, height: int, "
+        "channels: int, sample_rate: int, n_frames: int, "
+        "duration_s: double>",
+    )
+    out = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert out[0]["feat_dim"] == 9           # metadata n_frames fallback
+    assert out[1]["feat_dim"] == 4 * 3 * 3   # metadata w*h*3 fallback
+    assert out[0]["pixel_mean"] is None
+    assert out[1]["pixel_mean"] is None
+    with pytest.raises(Exception):
+        extract_features(df, strict=True).collect()

@@ -56,6 +56,35 @@ def test_round_trip_property(h, w, seed):
     assert (decode_webp(encode_webp_lossless(img))[:, :, :4] == img).all()
 
 
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 7, 16, 200, 256, 280])
+def test_complete_lengths_kraft_sum_is_one(n):
+    """Encoder code lengths must be Kraft-COMPLETE (sum 2^-len == 1) for
+    every used-symbol count, so strict table-building decoders (libwebp)
+    accept the stream — uniform lengths alone are incomplete whenever n
+    is not a power of two."""
+    from fractions import Fraction
+
+    from cqf_spark.functions.webp import _complete_lengths
+
+    lengths = _complete_lengths(range(n), 280)
+    nz = [l for l in lengths if l]
+    assert len(nz) == n
+    if n > 1:
+        assert sum(Fraction(1, 2 ** l) for l in nz) == 1
+        assert max(nz) - min(nz) <= 1
+
+
+def test_round_trip_non_pow2_symbol_count():
+    """3 distinct values per channel: the old uniform-length code was
+    Kraft-incomplete here; the two-length code must still round-trip."""
+    img = np.zeros((3, 3, 3), np.uint8)
+    img[0] = 10
+    img[1] = 20
+    img[2] = 77
+    got = decode_webp(encode_webp_lossless(img))
+    assert (got[:, :, :3] == img).all()
+
+
 def test_single_color_image():
     img = np.full((6, 7, 3), 129, np.uint8)
     got = decode_webp(encode_webp_lossless(img))
@@ -277,6 +306,88 @@ def test_hand_stream_predictor_left():
     assert [tuple(p) for p in got[0]] == [
         (5, 6, 7, 1), (7, 8, 9, 1), (9, 10, 11, 1)
     ]
+
+
+def _chan_code(bw, alphabet, syms):
+    """Uniform-length canonical code over ``syms`` (1 bit for <=2 symbols,
+    2 bits for 3-4)."""
+    lg = [0] * alphabet
+    L = 1 if len(syms) <= 2 else 2
+    for s in syms:
+        lg[s] = L
+    return _write_code(bw, lg)
+
+
+def _predictor_2x2(mode, residuals):
+    """Hand-build a 2x2 predictor-transformed stream: one 16x16 block of
+    ``mode``; ``residuals`` = four (g, r, b, a) tuples in raster order."""
+    bw = _BitWriter()
+    _header(bw, 2, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2, 3)  # size_bits = 4 -> one 16x16 block
+    tgp, trp, tbp, tap, _ = _plain_codes(bw, [mode], r=0, g0_unused=None,
+                                         b=0, a=0, level0=False)
+    _emit_sym(bw, tgp, mode)
+    _emit_sym(bw, trp, 0)
+    _emit_sym(bw, tbp, 0)
+    _emit_sym(bw, tap, 0)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    gs = sorted({p[0] for p in residuals})
+    rs = sorted({p[1] for p in residuals})
+    bs = sorted({p[2] for p in residuals})
+    as_ = sorted({p[3] for p in residuals})
+    tg = _chan_code(bw, 280, gs)
+    tr = _chan_code(bw, 256, rs)
+    tb = _chan_code(bw, 256, bs)
+    ta = _chan_code(bw, 256, as_)
+    _chan_code(bw, 40, [1])
+    for g, r, b, a in residuals:
+        _emit_sym(bw, tg, g)
+        _emit_sym(bw, tr, r)
+        _emit_sym(bw, tb, b)
+        _emit_sym(bw, ta, a)
+    return decode_webp(_container(bw.done()))
+
+
+def test_hand_stream_predictor_tr_wraps_to_current_row():
+    """mode 3 (TR) at the rightmost column: the spec's contiguous-buffer
+    index (y-1)*w + (x+1) lands on the CURRENT row's leftmost pixel, not
+    the row above's.  p10=(5,5,5) != p00=(0,0,0) discriminates."""
+    got = _predictor_2x2(3, [
+        (0, 0, 0, 0),   # p00 = pred(255,0,0,0) -> rgba (0,0,0,255)
+        (0, 0, 0, 0),   # p01: y=0 -> L        -> (0,0,0,255)
+        (5, 5, 5, 0),   # p10: x=0 -> T + 5    -> (5,5,5,255)
+        (0, 0, 0, 0),   # p11: TR == out[1,0]  -> (5,5,5,255)
+    ])
+    assert tuple(got[1, 1]) == (5, 5, 5, 255)
+
+
+def test_hand_stream_predictor_select_tie_returns_top():
+    """mode 11 at a Manhattan-distance tie: libwebp's Select returns the
+    TOP pixel when pa_minus_pb <= 0.  With TL=(1,1), T=(2,0), L=(0,2):
+    p = L+T-TL = (1,1); pL = pT = 2 -> must pick T."""
+    got = _predictor_2x2(11, [
+        (1, 1, 0, 0),       # p00 = TL = rgba (1,1,0,255)
+        (255, 1, 0, 0),     # p01 = T: p00 + (g-1, r+1) = (2,0,0,255)
+        (1, 255, 0, 0),     # p10 = L: p00 + (g+1, r-1) = (0,2,0,255)
+        (0, 0, 0, 0),       # p11 = Select tie -> T
+    ])
+    assert tuple(got[1, 1]) == (2, 0, 0, 255)
+
+
+def test_hand_stream_predictor_mode13_truncates_toward_zero():
+    """mode 13 (ClampAddSubtractHalf) uses C division: red a=avg2(10,11)
+    =10, TL=13 -> 10 + trunc(-3/2) = 9, where floor division gives 8."""
+    got = _predictor_2x2(13, [
+        (0, 13, 0, 0),      # p00 = TL = rgba (13,0,0,255)
+        (0, 254, 0, 0),     # p01 = T: red 13-2 = 11
+        (0, 253, 0, 0),     # p10 = L: red 13-3 = 10
+        (0, 0, 0, 0),       # p11: red pred = 9
+    ])
+    assert tuple(got[1, 1]) == (9, 0, 0, 255)
 
 
 def test_hand_stream_cross_color():
