@@ -275,3 +275,68 @@ def test_lm_quality_probe_below_single_exchange(spark, sf_dir):
         if l.strip().endswith("Exchange") and lines[i + 1].startswith("Input")
     )
     assert "_g" not in ex_input, ex_input
+
+
+def test_temperature_mix_corpus_pass_zero_exchange(spark, sf_dir):
+    """The mixing stage's corpus pass (<= 64 domains: literal when-chain)
+    must be a bare scan-local Project — no Exchange of ANY kind (not even
+    a broadcast), no Python; the upsample variant adds only a codegen
+    explode.  The one groupBy-count behind the rate table runs eagerly at
+    plan-construction and is not part of the returned plan."""
+    from cqf_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    for up in (False, True):
+        plan = _plan(
+            temperature_mix(docs, "lang", temperature=0.5, upsample=up),
+            spark,
+        )
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+        if up:
+            assert "Generate" in plan  # explode(sequence) for epochs
+
+
+def test_cap_per_group_single_window_exchange(spark, sf_dir):
+    """The per-host cap's default path is ONE row_number window: exactly
+    one Exchange, hash-partitioned on the group column, and no Python."""
+    from cqf_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    plan = _plan(cap_per_group(docs, "lang", k=3), spark)
+    assert plan.count(") Exchange") == 1, plan
+    assert "hashpartitioning(lang" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_strip_boilerplate_probe_pass_zero_exchange(spark, sf_dir):
+    """Boilerplate removal's filter pass must be scan-local: the CQF of
+    line doc-frequencies is built eagerly (its own jobs), and the
+    RETURNED plan probes it via one Arrow mask UDF + JVM zip_with
+    reassembly with NO Exchange — at 100 TB the corpus is read once and
+    never shuffled by this stage."""
+    from cqf_spark.operators.cleaning import strip_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(strip_boilerplate(docs, min_docs=3), spark)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEval" in plan or "MapInArrow" in plan  # the mask probe
+
+
+def test_scrub_pii_single_codegen_project(spark, sf_dir):
+    """PII scrubbing is one codegen Project (chained regexp_replace +
+    regexp_count): no Exchange, no Python."""
+    from cqf_spark.operators.cleaning import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(scrub_pii(docs), spark)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan
