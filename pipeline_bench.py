@@ -58,12 +58,23 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     from cqf_spark.operators.cleaning import scrub_pii, strip_boilerplate
+    from cqf_spark.operators.components import resolve_duplicate_clusters
     from cqf_spark.operators.corpus import pack_corpus, shuffle_corpus
     from cqf_spark.operators.sampling import cap_per_group, temperature_mix
 
     docs = corpus(spark)
     docs.persist()
     n = docs.count()  # materialize once; stages below time THEIR work
+
+    # planted duplicate graph for cluster resolution: each source doc's
+    # REPL replicas form a CHAIN (maximum diameter per component — the
+    # hardest shape for connected components; real LSH pair graphs are
+    # denser and converge faster), ~n*(REPL-1)/REPL edges.
+    dup_pairs = (
+        docs.select("doc_id")
+        .where((F.col("doc_id") % REPL) != 0)
+        .select(F.col("doc_id").alias("i"), (F.col("doc_id") - 1).alias("j"))
+    )
 
     stages = {
         "cap_per_group_prefilter": lambda: cap_per_group(
@@ -82,6 +93,9 @@ def main():
             budget_tokens=100_000,
             per_partition=True,
         ).agg(F.max("shard_off")).collect(),
+        "resolve_dup_clusters": lambda: resolve_duplicate_clusters(
+            docs, dup_pairs
+        ).count(),
     }
     out = {"n_docs": n, "sf": 0.1, "replication": REPL, "stages": {}}
     total = 0.0
