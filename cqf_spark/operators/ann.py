@@ -579,6 +579,124 @@ def kmeans_centroids(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int = 500_000,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
+    semantic deduplication over an embedding column.
+
+    Every vector is assigned to its nearest centroid map-side (the IVF
+    assignment discipline: scores rounded half-up to 4 decimals, ties to
+    the larger cell id — SQL-mirrorable with ROUND/ROW_NUMBER); within
+    each cell a vector is a semantic duplicate iff some SMALLER-id cell
+    member has cosine >= threshold with it (the released SemDedup keeps
+    one representative per duplicate clique via exactly this
+    max-over-lower-index rule).  Cosines round half-up to 4 decimals
+    before the threshold test so an independent engine reproduces the
+    keep set bit-for-bit.
+
+    Topology at 100 TB: the centroid set is small and broadcast (same
+    bound as :func:`ivf_topk`); assignment is one map-side matmul pass —
+    the corpus' ONLY shuffle is the groupBy(cell).  Per-cell work is the
+    algorithm's O(|cell|^2 * dim) pairwise pass, computed as a chunked
+    matmul so peak memory is O(chunk * |cell|) not O(|cell|^2); the
+    paper's contract is that k grows with the corpus so |cell| stays
+    bounded — ``max_cell_rows`` fail-louds if an assignment is skewed
+    past that contract instead of silently OOMing an executor (split the
+    offending cell by raising k, or salt it, and re-run).
+
+    Returns one row per corpus vector:
+    ``(id_col, cell, max_prev_cos, keep)`` with ``max_prev_cos`` the
+    maximum 4-decimal cosine to any smaller-id cell-mate (-1.0 when the
+    vector is its cell's smallest id) and ``keep = max_prev_cos <
+    threshold``.  Survivors are ``where(keep)``; the planted-duplicate
+    driver-style gate for this operator lives in EXTRA_QUERIES
+    (registry cap — see operators/registry.py).
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        with_unit_vectors(centroids, vec_col)
+        .select(F.col(id_col).alias("cell"), F.col("_unit").alias("mv"))
+        .collect()
+    )
+    cent_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    order = np.argsort(cent_ids)
+    cent_mat = np.stack(
+        [np.asarray(r["mv"], dtype=np.float64) for r in cent_rows]
+    )[order]
+    cent_ids = cent_ids[order]
+    n_cells = len(cent_ids)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+
+    unit = with_unit_vectors(corpus, vec_col).select(
+        id_col, F.col("_unit").alias("u")
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["u"].to_numpy())
+            s = m @ mat.T
+            # half-up round at 4 decimals + ascending-cell-rank tie key
+            # (identical to _ivf_assign_udf: argmax = highest rounded
+            # score, ties to the larger cell id)
+            si = (np.sign(s) * np.floor(np.abs(s) * 1e4 + 0.5)).astype(
+                np.int64
+            )
+            key = si * np.int64(n_cells) + np.arange(n_cells, dtype=np.int64)
+            best = np.argmax(key, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "u": pdf["u"], "cell": ids[best]}
+            )
+
+    assigned = unit.mapInPandas(
+        assign, schema=f"{id_col} long, u array<double>, cell long"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{len(pdf)} rows > max_cell_rows={max_cell_rows}; raise k "
+                "(SemDedup's contract: cells stay bounded) or salt the cell"
+            )
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.stack(pdf["u"].to_numpy())
+        n = len(pdf)
+        maxprev = np.full(n, -1.0)
+        # chunked upper-triangle max: block rows j0..j1 score only against
+        # the 0..j1 prefix, so peak memory is O(block * n), never n^2
+        block = max(1, int(8_000_000 // max(n, 1)))
+        for j0 in range(1, n, block):
+            j1 = min(j0 + block, n)
+            s = m[j0:j1] @ m[:j1].T  # (j1-j0, j1)
+            for r in range(j1 - j0):
+                maxprev[j0 + r] = s[r, : j0 + r].max()
+        # half-up round to 4 decimals BEFORE the threshold test, so the
+        # keep set is reproducible by any engine that rounds the same way
+        mp = np.sign(maxprev) * np.floor(np.abs(maxprev) * 1e4 + 0.5) / 1e4
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "max_prev_cos": mp,
+                "keep": mp < threshold,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune,
+        schema=f"{id_col} long, cell long, max_prev_cos double, keep boolean",
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -180,6 +180,68 @@ LEFT JOIN cnt ON cnt.cell = c2.cell
 """
 
 
+SD_MOD = 29  # semdedup centroid sample rule: vec_id % SD_MOD == 3
+SD_THRESHOLD = 0.95
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup with a FULL value oracle: the centroid set is the same
+    deterministic sample rule the k-means gate uses (vec_id % 29 == 3,
+    ~18 cells over the 500-row sf0.01 embeddings), near-duplicates are
+    PLANTED exactly as in `dedup_embedding_cosine` (first N_PLANT vectors
+    re-enter scaled 1.001 under vec_id + 10^6, cosine 1.0 to their
+    source), and DuckDB recomputes assignment + the max-over-lower-index
+    prune rule row for row.  Every planted copy must come back
+    keep=false with max_prev_cos 1.0; every original keeps (natural max
+    pair cosine ~0.4 << 0.95)."""
+    from .ann import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    planted = emb.where(F.col("vec_id") < N_PLANT).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001)
+        .cast(dict(emb.dtypes)["embedding"])
+        .alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    centroids = emb.where(F.col("vec_id") % SD_MOD == 3)
+    out = semantic_dedup(corpus, centroids, threshold=SD_THRESHOLD)
+    return out.select(
+        "vec_id", "cell", F.round("max_prev_cos", 4).alias("max_prev_cos"),
+        "keep",
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         CAST(list_transform(embedding, x -> x * 1.001) AS DOUBLE[])
+  FROM embeddings WHERE vec_id < {N_PLANT}),
+cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) mv
+         FROM embeddings WHERE vec_id % {SD_MOD} = 3),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, t.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        ORDER BY ROUND(list_cosine_similarity(b.cv, t.mv), 4) DESC,
+                 t.cell DESC) rn
+    FROM base b CROSS JOIN cent t) WHERE rn = 1),
+mp AS (
+  SELECT b.vec_id,
+         MAX(ROUND(list_cosine_similarity(ca.cv, cb.cv), 4)) m
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN base ca ON ca.vec_id = a.vec_id
+  JOIN base cb ON cb.vec_id = b.vec_id
+  GROUP BY b.vec_id)
+SELECT a.vec_id, a.cell,
+       COALESCE(mp.m, -1.0) AS max_prev_cos,
+       COALESCE(mp.m, -1.0) < {SD_THRESHOLD} AS keep
+FROM assign a LEFT JOIN mp ON mp.vec_id = a.vec_id
+"""
+
+
 ANN_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force_topk": q_ann_brute_force,
     "ann_lsh_recall": q_ann_lsh_recall,

@@ -56,3 +56,19 @@ for _q, _o in [
 
 # headline pipeline queries the bench harness times at sf0.1
 BENCH_QUERIES = ["webtext_bigram_multiplicity", "curate_training_corpus"]
+
+# Queries beyond the driver gate's hard 50-row cap.  Same contract as the
+# registered set — (spark, sf_dir) -> DataFrame plus a full DuckDB oracle
+# — but gated by the LOCAL mirror suite only (tests/test_entry_oracles.py
+# parametrizes over these too).  New operators land here first; promotion
+# into the 50 registered rows requires consolidating an existing
+# same-grain gate (see SURVEY.md round-5 notes for the consolidations
+# that freed slots this way).
+from .ann_queries import SEMANTIC_DEDUP_ORACLE, q_semantic_dedup
+
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_semantic": q_semantic_dedup,
+}
+EXTRA_ORACLES: dict[str, str] = {
+    "dedup_semantic": SEMANTIC_DEDUP_ORACLE,
+}

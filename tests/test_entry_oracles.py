@@ -55,6 +55,24 @@ def test_query_matches_oracle(spark, sf_dir, name, fn, sql):
     pd.testing.assert_frame_equal(g, w, check_dtype=False), name
 
 
+def _extra_pairs():
+    from cqf_spark.operators.registry import EXTRA_ORACLES, EXTRA_QUERIES
+
+    return [
+        (name, EXTRA_QUERIES[name], EXTRA_ORACLES.get(name))
+        for name in sorted(EXTRA_QUERIES)
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", _extra_pairs(), ids=[p[0] for p in _extra_pairs()]
+)
+def test_extra_query_matches_oracle(spark, sf_dir, name, fn, sql):
+    """EXTRA_QUERIES (beyond the driver gate's 50-row cap) pass the SAME
+    mirror check as the registered set."""
+    test_query_matches_oracle(spark, sf_dir, name, fn, sql)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry
 

@@ -1488,3 +1488,99 @@ def test_quantile_threshold_filter_validation(spark, sf_dir):
         quantile_threshold_filter(li, "l_extendedprice", 1.5)
     with pytest.raises(ValueError, match="keep must be"):
         quantile_threshold_filter(li, "l_extendedprice", 0.5, keep="top")
+
+
+# ------------------------------------------------------------------ #
+# semantic_dedup (SemDedup, arXiv:2303.09540) — cluster-then-prune
+# ------------------------------------------------------------------ #
+
+def _semdedup_corpus(spark):
+    """12 vectors in 3 well-separated directions; ids 10/11 are planted
+    near-copies of id 0 (scaled), id 25 a near-copy of id 20."""
+    rng = np.random.default_rng(17)
+    base = {0: rng.normal(size=8), 20: rng.normal(size=8), 40: rng.normal(size=8)}
+    rows = []
+    for cid, v in base.items():
+        rows.append((cid, (v).tolist()))
+        for j in range(1, 4):
+            rows.append((cid + j, (v + rng.normal(size=8) * 2.0).tolist()))
+    rows.append((10, (base[0] * 1.5).tolist()))   # dup of 0 (cos = 1)
+    rows.append((11, (base[0] * 0.5).tolist()))   # dup of 0 (cos = 1)
+    rows.append((25, (base[20] * 2.0).tolist()))  # dup of 20
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semantic_dedup_drops_planted_keeps_rest(spark):
+    from cqf_spark.operators.ann import semantic_dedup
+
+    corpus = _semdedup_corpus(spark)
+    cents = corpus.where("vec_id in (0, 20, 40)")
+    out = semantic_dedup(corpus, cents, threshold=0.99).toPandas()
+    dropped = set(out[~out["keep"]]["vec_id"])
+    assert dropped == {10, 11, 25}
+    # exact scaled copies read cosine 1.0 to their lower-id source
+    assert (
+        out.set_index("vec_id").loc[[10, 11, 25], "max_prev_cos"] == 1.0
+    ).all()
+    # survivors include every cell's smallest id (max_prev_cos = -1 only
+    # for cell minima)
+    minima = out.groupby("cell")["vec_id"].min()
+    sentinel = set(out[out["max_prev_cos"] == -1.0]["vec_id"])
+    assert sentinel == set(minima)
+
+
+def test_semantic_dedup_matches_exhaustive_numpy(spark):
+    """Chunked upper-triangle max == the O(n^2) dense recompute, on a
+    cell big enough that the blocked path takes multiple blocks."""
+    from cqf_spark.operators.ann import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    n, dim = 600, 16
+    mat = rng.normal(size=(n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = corpus.where("vec_id = 0")  # one cell: worst case
+    got = (
+        semantic_dedup(corpus, cents, threshold=0.5)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    u = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    s = u @ u.T
+    want = np.full(n, -1.0)
+    for j in range(1, n):
+        want[j] = s[j, :j].max()
+    want = np.sign(want) * np.floor(np.abs(want) * 1e4 + 0.5) / 1e4
+    assert np.allclose(got["max_prev_cos"].to_numpy(), want)
+    assert (got["keep"].to_numpy() == (want < 0.5)).all()
+
+
+def test_semantic_dedup_cell_cap_fails_loud(spark):
+    from cqf_spark.operators.ann import semantic_dedup
+
+    corpus = _semdedup_corpus(spark)
+    cents = corpus.where("vec_id = 0")
+    with pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(corpus, cents, max_cell_rows=5).collect()
+
+
+def test_semantic_dedup_single_shuffle(spark):
+    """The corpus' only exchange is the groupBy(cell) — assignment is
+    map-side against the broadcast centroid matrix."""
+    from cqf_spark.operators.ann import semantic_dedup
+
+    corpus = _semdedup_corpus(spark)
+    cents = corpus.where("vec_id in (0, 20, 40)")
+    out = semantic_dedup(corpus, cents, threshold=0.99)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan  # hash exchange (+AQE read) for ONE shuffle
