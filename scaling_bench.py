@@ -282,6 +282,37 @@ def hardware_control(n: int) -> dict:
     return out
 
 
+# Launch discipline (BENCH.md provenance notes): a campaign is only
+# MEASURED in a window whose pure-CPU control lands in this band.  Below
+# it the host is stealing cycles (r5 campaigns 3/5 aborted at 0.733 /
+# 0.797); above it the control itself is anomalous — super-linear
+# pure-CPU scaling means the lo leg was throttled during its control
+# run, the same unreached-floor failure mode the >1.05 in-campaign
+# sentinel guards (r5 campaign 4's window read 1.153).
+CONTROL_CLEAN_BAND = (0.90, 1.05)
+
+
+def control_verdict(efficiency: float) -> str:
+    """Classify a hardware-control reading against the launch band."""
+    lo, hi = CONTROL_CLEAN_BAND
+    if efficiency < lo:
+        return "contended"
+    if efficiency > hi:
+        return "anomalous"
+    return "clean"
+
+
+def probe(n: int = 2) -> bool:
+    """``--probe``: run ONLY the pure-CPU control and report whether the
+    window qualifies for a measured campaign.  Exit status drives shell
+    loops: ``until python scaling_bench.py --probe; do sleep 600; done``."""
+    control = hardware_control(n)
+    verdict = control_verdict(control["efficiency"])
+    print(f"[scaling] probe: {control} verdict={verdict}", file=sys.stderr)
+    print(json.dumps({"control": control, "verdict": verdict}))
+    return verdict == "clean"
+
+
 def _subprocess_level(cores: int) -> dict:
     """Run one parallelism level in a fresh process (own JVM), like a real
     spark-submit per cluster size; avoids gateway-JVM reuse interference.
@@ -564,7 +595,22 @@ def _write_result(out: dict) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     control = hardware_control(n)
-    print(f"[scaling] hardware control: {control}", file=sys.stderr)
+    verdict = control_verdict(control["efficiency"])
+    print(
+        f"[scaling] hardware control: {control} verdict={verdict}",
+        file=sys.stderr,
+    )
+    if verdict != "clean" and os.environ.get("SPARK_GRAFT_SCALE_FORCE") != "1":
+        # launch discipline, executable: don't burn 40 minutes measuring a
+        # window the control already disqualified (r5 campaigns 3/5).
+        # SPARK_GRAFT_SCALE_FORCE=1 overrides for deliberate disclosure runs.
+        print(
+            f"[scaling] ABORTED at control stage: verdict={verdict} "
+            f"(clean band {CONTROL_CLEAN_BAND}); set "
+            "SPARK_GRAFT_SCALE_FORCE=1 to measure anyway",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     los, his = [], []
     # interleave rounds so bursty host throttling hits both levels equally.
     # The first interleaved round is a WARM-UP and is discarded: measured
@@ -620,5 +666,8 @@ def reanalyze(log_path: str, n: int = 2) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--reanalyze":
         reanalyze(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        ok = probe(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+        sys.exit(0 if ok else 1)
     else:
         main()

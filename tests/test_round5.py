@@ -1584,3 +1584,24 @@ def test_semantic_dedup_single_shuffle(spark):
     plan = out._jdf.queryExecution().explainString(mode)
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, plan  # hash exchange (+AQE read) for ONE shuffle
+
+
+# ------------------------------------------------------------------ #
+# scaling_bench launch discipline — the control-window gate is code
+# ------------------------------------------------------------------ #
+
+def test_control_verdict_bands():
+    """The launch discipline (only measure campaigns whose pure-CPU
+    control is clean) is executable, not session lore: below the band =
+    contended host, above it = anomalous (the lo control leg itself was
+    throttled — the unreached-floor failure mode)."""
+    import scaling_bench as sb
+
+    lo, hi = sb.CONTROL_CLEAN_BAND
+    assert sb.control_verdict(lo) == "clean"
+    assert sb.control_verdict(hi) == "clean"
+    assert sb.control_verdict(1.0) == "clean"
+    assert sb.control_verdict(lo - 0.01) == "contended"   # r5 c3/c5 windows
+    assert sb.control_verdict(0.733) == "contended"
+    assert sb.control_verdict(hi + 0.01) == "anomalous"   # r5 c4's 1.153
+    assert sb.control_verdict(1.153) == "anomalous"
