@@ -1605,3 +1605,105 @@ def test_control_verdict_bands():
     assert sb.control_verdict(0.733) == "contended"
     assert sb.control_verdict(hi + 0.01) == "anomalous"   # r5 c4's 1.153
     assert sb.control_verdict(1.153) == "anomalous"
+
+
+# ------------------------------------------------------------------ #
+# DSIR importance weighting (arXiv:2302.03169) — two-CQF ratio scores
+# ------------------------------------------------------------------ #
+
+def _dsir_docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog sat on the log", "en"),
+        (2, "cat mat cat mat cat mat", "en"),
+        (3, "le chat est sur le tapis", "fr"),
+        (4, "der hund ist auf dem baum", "de"),
+        (5, "the cat sat", "en"),
+        (6, "x", "de"),  # zero bigrams -> log_weight 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_matches_exhaustive_recompute(spark):
+    """log_weight == the dense pandas recompute of the add-one-smoothed
+    bag-of-bigrams importance ratio, for every document."""
+    import math
+    from collections import Counter
+
+    from cqf_spark.operators.dsir import dsir_log_weights
+
+    docs = _dsir_docs(spark)
+    target = docs.where("lang = 'en'")
+    got = (
+        dsir_log_weights(docs.select("doc_id", "text"),
+                         target.select("doc_id", "text"))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+
+    def bigrams(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    rows = docs.collect()
+    tc, rc = Counter(), Counter()
+    for r in rows:
+        gs = bigrams(r.text)
+        rc.update(gs)
+        if r.lang == "en":
+            tc.update(gs)
+    T, R = sum(tc.values()), sum(rc.values())
+    V = len(set(tc) | set(rc))
+    for r in rows:
+        gs = bigrams(r.text)
+        slr = sum(math.log(tc[g] + 1) - math.log(rc[g] + 1) for g in gs)
+        lw = slr + len(gs) * (math.log(R + V) - math.log(T + V))
+        assert got.loc[r.doc_id, "n_grams"] == len(gs)
+        assert abs(got.loc[r.doc_id, "sum_log_ratio"] - round(slr, 4)) < 1e-9
+        assert abs(got.loc[r.doc_id, "log_weight"] - round(lw, 4)) < 1e-9
+    # ranking property: in-target-domain docs outweigh out-of-domain ones
+    assert got.loc[2, "log_weight"] > got.loc[4, "log_weight"]
+    assert got.loc[6, "log_weight"] == 0.0  # zero-gram doc
+
+
+def test_dsir_gumbel_resample_deterministic(spark):
+    """DSIR's selection step — sample proportional to the weights — done
+    deterministically: perturb log_weight with a Gumbel noise derived
+    from md5(doc_id) (the Gumbel-top-k trick), take top-k.  Pure codegen,
+    stable across reruns/partitionings."""
+    from pyspark.sql import functions as F
+
+    from cqf_spark.operators.dsir import dsir_log_weights
+
+    docs = _dsir_docs(spark)
+    w = dsir_log_weights(docs.select("doc_id", "text"),
+                         docs.where("lang = 'en'").select("doc_id", "text"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir|"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("double") + 1.0
+    ) / (16.0 ** 8 + 2.0)  # uniform in (0,1), engine-portable
+    g = -F.log(-F.log(u))
+    picked = (
+        w.withColumn("_key", F.col("log_weight") + g)
+        .orderBy(F.col("_key").desc()).limit(3)
+    )
+    a = sorted(r.doc_id for r in picked.collect())
+    b = sorted(r.doc_id for r in picked.collect())
+    assert a == b and len(a) == 3
+
+
+def test_dsir_plan_scan_local_probes(spark):
+    """The raw corpus' only exchange is the per-document aggregation:
+    both sketch probes are scan-local Arrow UDFs (no join anywhere), and
+    the normalization scalars come from sketch metadata (literals in the
+    plan), not extra scans."""
+    from cqf_spark.operators.dsir import dsir_log_weights
+
+    docs = _dsir_docs(spark)
+    w = dsir_log_weights(docs.select("doc_id", "text"),
+                         docs.where("lang = 'en'").select("doc_id", "text"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = w._jdf.queryExecution().explainString(mode)
+    assert plan.count("Join") == 0, plan
+    assert plan.count("Exchange") <= 2, plan  # one shuffle (+AQE read)
