@@ -332,3 +332,81 @@ def scrub_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, tag)
     return docs.select("*", *counts, cur.alias(out_col))
+
+
+# --------------------------------------------------------------------- #
+# gate query + standalone DuckDB oracle (EXTRA_QUERIES, registry.py) —
+# boilerplate stripping with PLANTED frequent lines.  The PII stage has
+# no DuckDB mirror on purpose: its phone rule needs a lookbehind, which
+# RE2 (DuckDB's engine) does not support — scrub_pii is gated by unit +
+# pipeline-e2e tests instead (tests/test_round5.py, test_pipeline_e2e).
+# --------------------------------------------------------------------- #
+
+_BP_FRAC = 0.2
+_BP_FOOTER = "subscribe to our newsletter today"
+_BP_COOKIE = "accept all cookies to continue"
+_BP_RARE = "rare footer only a few pages carry"
+
+
+def q_strip_boilerplate(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Boilerplate removal with a full value oracle: two frequent lines
+    are PLANTED (a footer on every even doc_id, a cookie banner on every
+    doc_id % 3 == 0) plus one rare line (doc_id % 97 == 0) that must
+    SURVIVE the 20%-of-corpus document-frequency threshold; natural text
+    lines are unique per document and must all survive.  DuckDB
+    recomputes the line split, the distinct-per-doc frequency, the
+    threshold and the reassembly exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_BP_FOOTER)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BP_COOKIE)),
+            F.when(F.col("doc_id") % 97 == 0, F.lit(_BP_RARE)),
+        ).alias("text"),
+    )
+    return strip_boilerplate(planted, min_doc_frac=_BP_FRAC)
+
+
+CLEANING_EXTRA_ORACLES: dict[str, str] = {
+    "clean_strip_boilerplate": f"""
+WITH planted AS (
+  SELECT doc_id, concat_ws(chr(10), text,
+    CASE WHEN doc_id % 2 = 0 THEN '{_BP_FOOTER}' END,
+    CASE WHEN doc_id % 3 = 0 THEN '{_BP_COOKIE}' END,
+    CASE WHEN doc_id % 97 = 0 THEN '{_BP_RARE}' END) AS text
+  FROM documents),
+thr AS (
+  SELECT greatest(2, CAST(ceil({_BP_FRAC} * count(*)) AS BIGINT)) AS k
+  FROM documents),
+lns AS (
+  SELECT doc_id,
+         coalesce(list_filter(
+           list_transform(string_split(text, chr(10)), x -> trim(x)),
+           x -> len(x) > 0), CAST([] AS VARCHAR[])) AS ls
+  FROM planted),
+dl AS (SELECT doc_id, unnest(list_distinct(ls)) AS l FROM lns),
+df AS (SELECT l, count(*) AS c FROM dl GROUP BY l),
+freq AS (
+  SELECT coalesce(list(l), CAST([] AS VARCHAR[])) AS fl
+  FROM df, thr WHERE c >= thr.k)
+SELECT
+  lns.doc_id,
+  array_to_string(
+    list_filter(lns.ls, x -> NOT list_contains(f.fl, x)), chr(10)
+  ) AS clean_text,
+  len(lns.ls) AS n_lines,
+  len(lns.ls)
+    - len(list_filter(lns.ls, x -> NOT list_contains(f.fl, x)))
+    AS n_dropped
+FROM lns CROSS JOIN freq f
+""",
+}
+
+CLEANING_EXTRA_QUERIES = {
+    "clean_strip_boilerplate": q_strip_boilerplate,
+}

@@ -65,13 +65,16 @@ BENCH_QUERIES = ["webtext_bigram_multiplicity", "curate_training_corpus"]
 # same-grain gate (see SURVEY.md round-5 notes for the consolidations
 # that freed slots this way).
 from .ann_queries import SEMANTIC_DEDUP_ORACLE, q_semantic_dedup
+from .cleaning import CLEANING_EXTRA_ORACLES, CLEANING_EXTRA_QUERIES
 from .dsir import DSIR_ORACLES, DSIR_QUERIES
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_semantic_dedup,
     **DSIR_QUERIES,
+    **CLEANING_EXTRA_QUERIES,
 }
 EXTRA_ORACLES: dict[str, str] = {
     "dedup_semantic": SEMANTIC_DEDUP_ORACLE,
     **DSIR_ORACLES,
+    **CLEANING_EXTRA_ORACLES,
 }
