@@ -452,6 +452,7 @@ def build_sketches_grouped(
     key_col: str,
     config: CqfConfig,
     fan_in: int = 64,
+    count_col: str | None = None,
 ) -> Any:
     """GROUP BY + sketch aggregation: one merged CQF per group value,
     returned as DataFrame[group, sketch, nelts, ndistinct].
@@ -461,6 +462,12 @@ def build_sketches_grouped(
     one blob shuffle groups partials by group value and merges
     (qf_multi_merge per group).  Group skew is bounded: a group's shuffle
     payload is its partial-sketch count, not its row count.
+
+    ``count_col`` (r6) lets callers pre-aggregate the stream to exact
+    (group, key, count) rows in JVM codegen first (guide §2.3) —
+    ``Cqf.from_hashes(counts=...)`` aggregates identically, so the merged
+    per-group sketches are unchanged while the Python boundary sees one
+    row per distinct (group, key).
     """
     from pyspark.sql import functions as F
 
@@ -470,22 +477,31 @@ def build_sketches_grouped(
     # *group* would be silently dropped by pandas groupby anyway, so it is
     # filtered explicitly here — callers wanting a NULL group must coalesce
     # to a sentinel first.
+    cols = [group_col, key_col] + ([count_col] if count_col else [])
     pruned = ensure_parallelism(
-        df.select(group_col, key_col).where(
+        df.select(*cols).where(
             F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
         )
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[Any, list[np.ndarray]] = {}
+        cnt_acc: dict[Any, list[np.ndarray]] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
             for g, sub in pdf.groupby(group_col, sort=False):
                 acc.setdefault(g, []).append(hash_series(sub[key_col], config))
+                if count_col:
+                    cnt_acc.setdefault(g, []).append(
+                        sub[count_col].to_numpy().astype(np.uint64)
+                    )
         rows = {"group": [], "sketch": [], "nelts": [], "ndistinct": []}
         for g, chunks in acc.items():
-            sk = Cqf.from_hashes(config, np.concatenate(chunks))
+            counts = (
+                np.concatenate(cnt_acc[g]) if count_col else None
+            )
+            sk = Cqf.from_hashes(config, np.concatenate(chunks), counts)
             rows["group"].append(g)
             rows["sketch"].append(sk.to_bytes())
             rows["nelts"].append(sk.nelts)

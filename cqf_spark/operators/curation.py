@@ -36,7 +36,6 @@ from .dedup import minhash_dedup_pairs
 from .text_queries import (
     LANG_PROFILES,
     alpha_ratio_expr,
-    lang_pred_expr,
     n_tokens_expr,
 )
 
@@ -63,20 +62,60 @@ def curate_corpus(
     (SELECT j FROM pairs)``), no transitive closure needed.
     """
     # all three features are pure codegen expressions of the text column:
-    # ONE select over the scan, no doc_id self-joins (VERDICT r3 #2)
-    kept = (
-        docs.select(
-            "doc_id",
-            "text",
-            n_tokens_expr("text").alias("n_tokens"),
-            alpha_ratio_expr("text").alias("alpha_ratio"),
-            lang_pred_expr("text").alias("pred_lang"),
-        )
-        .where(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("alpha_ratio") >= min_alpha)
-            & F.col("pred_lang").isin(*langs)
-        )
+    # ONE select over the scan, no doc_id self-joins (VERDICT r3 #2).
+    #
+    # r6 shape fix (guide §1.2 step 1 — don't compute things twice): the
+    # language scores are materialized as COLUMNS in an inner select and
+    # the argmax CASE reads those columns, instead of inlining the
+    # filter(split(lower(text))) score expression into every CASE branch
+    # (the lang_pred_expr form re-evaluated each per-language score up to
+    # ~20x per row once Catalyst expanded `greatest` inside each WHEN —
+    # measured 8.7 s for the feature pass alone at sf1.0).  CollapseProject
+    # keeps the split: score columns are non-cheap and multiply referenced.
+    from ..aggregator import ensure_parallelism
+
+    # the compact documents arrive as ONE parquet split at bench scale
+    # (a single 6 MB row group) — without this the whole feature +
+    # signature chain ran on one core (guide §2.5 input skew); the
+    # repartition moves only (doc_id, text) once and is a no-op at real
+    # scale where the scan already has thousands of splits
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
+    toks_l = F.split(F.lower(F.col("text")), " ")
+
+    def _score(prof: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in prof])
+        return F.size(F.filter(toks_l, lambda x: F.array_contains(arr, x)))
+
+    scored = docs.select(
+        "doc_id",
+        "text",
+        n_tokens_expr("text").alias("n_tokens"),
+        alpha_ratio_expr("text").alias("alpha_ratio"),
+        *[
+            _score(prof).alias(f"_s_{lg}")
+            for lg, prof in LANG_PROFILES.items()
+        ],
+    )
+    score_cols = [F.col(f"_s_{lg}") for lg in LANG_PROFILES]
+    best = F.greatest(*score_cols)
+    pred = F.when(best == 0, F.lit("und"))
+    for lg, c in zip(LANG_PROFILES, score_cols):
+        pred = pred.when(c == best, F.lit(lg))
+    # persist the compact per-doc feature frame (one row per doc — the
+    # scale-safe cache unit, same discipline as the webtext page cache):
+    # the dedup stage consumes (doc_id, text) for signatures + shingle
+    # verification and the final anti-join consumes the features, and
+    # without the persist each of those subtrees re-ran the full scan +
+    # feature pass (7 independent parquet scans in the r5 plan).  The
+    # filter sits ABOVE the persist so predicate pushdown cannot clone
+    # the expensive expressions back into a scan-side Filter.
+    feat = scored.select(
+        "doc_id", "text", "n_tokens", "alpha_ratio", pred.alias("pred_lang")
+    ).persist()
+    kept = feat.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio") >= min_alpha)
+        & F.col("pred_lang").isin(*langs)
     )
     pairs = minhash_dedup_pairs(kept.select("doc_id", "text"), threshold=jaccard)
     dropped = pairs.select(F.col("j").alias("doc_id")).distinct()

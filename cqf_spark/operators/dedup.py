@@ -408,10 +408,31 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> EXACT Jaccard verification of candidates only (the standard
-    'verify survivors' discipline).  Output (i, j, jac >= threshold)."""
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n, seed)
-    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    sh = shingle_df(docs, id_col, text_col, shingle_n)
+    'verify survivors' discipline).  Output (i, j, jac >= threshold).
+
+    r6 plan shape (guide §2.4/§3.2): the signature frame and the candidate
+    pairs are persisted — the band self-join otherwise re-ran the whole
+    signature MapInPandas once per side, and the candidate-id semi-join
+    below re-ran the self-join itself.  Shingle verification only ever
+    touches docs that appear in some candidate pair, so the exact-Jaccard
+    explode is SEMI-JOINED down to those ids before any shingle is built
+    (the verify joins keyed on i/j already discarded every other doc —
+    restricting the input is result-identical, it just stops exploding
+    shingles for docs no candidate references).  Candidates are a
+    vanishing fraction of the corpus at real dup rates, so at 100 TB this
+    turns the verify from a corpus-wide explode into one proportional to
+    the duplicate set."""
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_perm, shingle_n, seed
+    ).persist()
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands).persist()
+    cand_ids = (
+        cand.select(F.col("i").alias(id_col))
+        .union(cand.select(F.col("j").alias(id_col)))
+        .distinct()
+    )
+    docs_c = docs.join(F.broadcast(cand_ids), id_col, "semi")
+    sh = shingle_df(docs_c, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("i"), F.col("g"))
     b = sh.select(F.col("id").alias("j"), F.col("g"))

@@ -45,14 +45,20 @@ def q_bigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequencies over extracted text via a distributed CQF.
 
     The COMPACT extracted pages are cached (one text row per page — the
-    scale-safe cache unit), so the double consumption (sketch build +
-    distinct-probe side) re-runs only the cheap codegen n-gram explode,
-    never the extraction; caching the exploded gram stream itself would
-    pin every bigram string in executor memory (VERDICT r01)."""
+    scale-safe cache unit; caching the exploded gram stream itself would
+    pin every bigram string in executor memory, VERDICT r01).  r6: the
+    gram stream partially aggregates map-side in JVM codegen
+    (``counted_keys``) so extraction + explode run ONCE and the Python
+    build sees one row per distinct bigram; the cached counted frame is
+    also the probe set — the r5 plan consumed the gram stream twice
+    (build + distinct)."""
+    from ..queries import counted_keys
+
     pages = _pages(spark, sf_dir).select("extracted_text").cache()
     grams = ngram_stream(pages, 2)
-    sketch = cqf_aggregate(grams, "ngram", NGRAM_CONFIG)
-    return grams.distinct().select(
+    counted = counted_keys(grams, "ngram")
+    sketch = cqf_aggregate(counted, "ngram", NGRAM_CONFIG, count_col="__cnt")
+    return counted.select(
         "ngram", count_udf(spark, sketch)("ngram").alias("approx_count")
     )
 

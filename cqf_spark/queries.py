@@ -44,6 +44,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def counted_keys(df: DataFrame, key_col: str) -> DataFrame:
+    """Exact (key, __cnt) pre-aggregation, persisted — the guide §2.3
+    "aggregate before you shuffle" step in front of a sketch build.
+
+    ``groupBy(key).count()`` partially aggregates map-side in JVM codegen,
+    so (a) the exchange carries at most distinct-keys-per-map-task rows
+    instead of the raw row stream, and (b) the Python boundary (guide §4)
+    sees one (key, count) pair per distinct key instead of every row —
+    ``Cqf.from_hashes(counts=...)`` aggregates identically, so the merged
+    sketch is exactly the one the raw-stream build produced.  The
+    persisted frame doubles as the probe key set: the r1-r5 query plans
+    paid a second full scan + distinct-shuffle to enumerate probes that
+    this frame already holds (null keys stay in the frame so the probe
+    set matches ``.distinct()`` exactly; ``build_sketches`` drops them
+    from the sketch, as before)."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
+    )
+
+
 def tokens_df(
     spark: SparkSession, sf_dir: str, cache_compact: bool = False
 ) -> DataFrame:
@@ -71,11 +93,16 @@ def tokens_df(
 # --------------------------------------------------------------------- #
 
 def q_multiplicity_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """qf_count_key_value over every distinct l_partkey (src/gqf.c:2018)."""
+    """qf_count_key_value over every distinct l_partkey (src/gqf.c:2018).
+
+    r6: one exact pre-aggregated pass (``counted_keys``) feeds both the
+    sketch build (via ``count_col`` — bit-identical final sketch) and the
+    probe key set; the r5 plan scanned lineitem twice and shipped all 6M
+    raw keys through Arrow into the Python build."""
     li = load(spark, sf_dir, "lineitem")
-    sketch = cqf_aggregate(li, "l_partkey", INT_CONFIG)
-    probes = li.select("l_partkey").distinct()
-    return probes.select(
+    counted = counted_keys(li, "l_partkey")
+    sketch = cqf_aggregate(counted, "l_partkey", INT_CONFIG, count_col="__cnt")
+    return counted.select(
         "l_partkey", count_udf(spark, sketch)("l_partkey").alias("approx_count")
     )
 
@@ -94,7 +121,8 @@ def q_file_roundtrip_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame
     from .core import Cqf
 
     li = load(spark, sf_dir, "lineitem")
-    sketch = cqf_aggregate(li, "l_partkey", INT_CONFIG)
+    counted = counted_keys(li, "l_partkey")
+    sketch = cqf_aggregate(counted, "l_partkey", INT_CONFIG, count_col="__cnt")
     fd, path = tempfile.mkstemp(suffix=".cqf")
     os.close(fd)
     try:
@@ -104,8 +132,7 @@ def q_file_roundtrip_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         os.unlink(path)
     assert reloaded.geom.qbits == sketch.geom.qbits + 1
-    probes = li.select("l_partkey").distinct()
-    return probes.select(
+    return counted.select(
         "l_partkey", count_udf(spark, reloaded)("l_partkey").alias("approx_count")
     )
 
@@ -113,29 +140,36 @@ def q_file_roundtrip_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_membership_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate membership (count>0) as a semi-join replacement."""
     orders = load(spark, sf_dir, "orders")
-    sketch = cqf_aggregate(orders, "o_custkey", INT_CONFIG)
+    counted = counted_keys(orders, "o_custkey")
+    sketch = cqf_aggregate(counted, "o_custkey", INT_CONFIG, count_col="__cnt")
     cust = load(spark, sf_dir, "customer").select("c_custkey")
     return cust.where(contains_udf(spark, sketch)("c_custkey")).select("c_custkey")
 
 
 def q_token_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: how often does each token appear in the corpus?
-    (SURVEY.md §7 phase 2 — the minimum end-to-end slice.)  The compact
-    text is cached for the double consumption; the explode recomputes."""
-    toks = tokens_df(spark, sf_dir, cache_compact=True)
-    sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
-    return toks.distinct().select(
+    (SURVEY.md §7 phase 2 — the minimum end-to-end slice.)  r6: the
+    exploded token stream partially aggregates map-side in JVM codegen
+    (``counted_keys``) so the Python build sees one row per distinct
+    token, and the same cached frame is the probe set — one pass over
+    the corpus instead of the r5 build+distinct double consumption."""
+    toks = tokens_df(spark, sf_dir)
+    counted = counted_keys(toks, "token")
+    sketch = cqf_aggregate(counted, "token", TOKEN_CONFIG, count_col="__cnt")
+    return counted.select(
         "token", count_udf(spark, sketch)("token").alias("approx_count")
     )
 
 
 def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters: tokens with frequency >= 20 (threshold form keeps the
-    result deterministic for the oracle compare)."""
-    toks = tokens_df(spark, sf_dir, cache_compact=True)
-    sketch = cqf_aggregate(toks, "token", TOKEN_CONFIG)
+    result deterministic for the oracle compare).  Same r6 single-pass
+    ``counted_keys`` shape as :func:`q_token_multiplicity`."""
+    toks = tokens_df(spark, sf_dir)
+    counted = counted_keys(toks, "token")
+    sketch = cqf_aggregate(counted, "token", TOKEN_CONFIG, count_col="__cnt")
     cnt = count_udf(spark, sketch)("token").alias("cnt")
-    return toks.distinct().select("token", cnt).where(F.col("cnt") >= 20)
+    return counted.select("token", cnt).where(F.col("cnt") >= 20)
 
 
 def q_kv_store_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,10 +280,16 @@ def q_set_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase", "view")
     )
+    # r6: exact (type, user) counts first — JVM map-side partial agg
+    # shrinks the Python build input from the 1M-row event stream to one
+    # row per distinct (type, user); sketches are bit-identical
+    pre = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     sketches = {
         r["group"]: Cqf.from_bytes(bytes(r["sketch"]))
         for r in build_sketches_grouped(
-            ev, "event_type", "user_id", INT_CONFIG
+            pre, "event_type", "user_id", INT_CONFIG, count_col="__cnt"
         ).collect()
     }
     inter = sketches["click"].intersect(sketches["purchase"])
@@ -270,12 +310,16 @@ def q_merge_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qf_merge as multiset UNION ALL (src/gqf.c:2432): counts from two
     disjoint builds add up to the whole-table counts."""
     li = load(spark, sf_dir, "lineitem")
-    lo = li.where(F.col("l_linenumber") <= 3)
-    hi = li.where(F.col("l_linenumber") > 3)
-    a = cqf_aggregate(lo, "l_suppkey", INT_CONFIG)
-    b = cqf_aggregate(hi, "l_suppkey", INT_CONFIG)
+    lo = counted_keys(li.where(F.col("l_linenumber") <= 3), "l_suppkey")
+    hi = counted_keys(li.where(F.col("l_linenumber") > 3), "l_suppkey")
+    a = cqf_aggregate(lo, "l_suppkey", INT_CONFIG, count_col="__cnt")
+    b = cqf_aggregate(hi, "l_suppkey", INT_CONFIG, count_col="__cnt")
     merged = a.merge(b)
-    probes = li.select("l_suppkey").distinct()
+    # probe keys = union of the two counted frames' key sets — the same
+    # set the r5 plan paid a third full lineitem scan + distinct for
+    probes = (
+        lo.select("l_suppkey").union(hi.select("l_suppkey")).distinct()
+    )
     return probes.select(
         "l_suppkey", count_udf(spark, merged)("l_suppkey").alias("approx_count")
     )
@@ -389,7 +433,12 @@ def q_grouped_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .aggregator import build_sketches_grouped
 
     ev = load(spark, sf_dir, "events")
-    out = build_sketches_grouped(ev, "event_type", "user_id", INT_CONFIG)
+    pre = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    out = build_sketches_grouped(
+        pre, "event_type", "user_id", INT_CONFIG, count_col="__cnt"
+    )
     return out.select(
         F.col("group").alias("event_type"),
         F.col("nelts").alias("n_events"),

@@ -145,11 +145,22 @@ def test_curation_python_stages_bounded_no_feature_self_joins(spark, sf_dir):
     n_python = len(re.findall(r"\(\d+\) MapInPandas", plan))
     assert 1 <= n_python <= 2, plan  # signature stage(s) only
     assert "LeftAnti" in plan, plan
-    # exactly ONE join is keyed on doc_id (the anti-join: left+right key
-    # lines) — the two r3 feature self-joins on doc_id are gone; the
-    # dedup-internal joins key on band/bucket and i/j
-    doc_id_keys = len(re.findall(r"keys \[\d+\]: \[doc_id#", plan))
-    assert doc_id_keys == 2, plan
+    # no INNER join is keyed on doc_id — the two r3 feature self-joins on
+    # doc_id are gone; the dedup-internal joins key on band/bucket and
+    # i/j.  (doc_id-keyed LeftSemi joins are the r6 candidate-id
+    # restriction of the shingle verify, and the LeftAnti is the drop
+    # set — both intended.)
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    inner_doc_joins = [
+        b
+        for b in blocks
+        if b.startswith(
+            ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        )
+        and re.search(r"keys \[\d+\]: \[doc_id#", b)
+        and "Join type: Inner" in b
+    ]
+    assert not inner_doc_joins, plan
     # the drop-set anti-join must not carry a forced broadcast hint
     import inspect
 
