@@ -217,7 +217,11 @@ WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000,
-         CAST(list_transform(embedding, x -> x * 1.001) AS DOUBLE[])
+         -- quantize through FLOAT first: the Spark side stores the
+         -- planted vectors as array<float>, so both engines must score
+         -- identical bit patterns (ADVICE r5)
+         CAST(CAST(list_transform(embedding, x -> x * 1.001) AS FLOAT[])
+              AS DOUBLE[])
   FROM embeddings WHERE vec_id < {N_PLANT}),
 cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) mv
          FROM embeddings WHERE vec_id % {SD_MOD} = 3),

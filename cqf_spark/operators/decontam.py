@@ -59,12 +59,8 @@ def contamination_scores(
     spark = corpus.sparkSession
     doc_grams = corpus.select(
         F.col(id_col).alias("_id"),
-        F.explode_outer(F.array_distinct(ngrams_expr(n, text_col))).alias(
-            "_g"
-        ),
+        F.explode(F.array_distinct(ngrams_expr(n, text_col))).alias("_g"),
     )
-    # contains_udf is null-safe (null -> False), so the explode_outer
-    # sentinel row of a too-short doc can never become a hit
     probed = doc_grams.withColumn(
         "_maybe", contains_udf(spark, sketch)(F.col("_g"))
     )
@@ -76,8 +72,16 @@ def contamination_scores(
         "left_semi",
     )
     hits = suspects.groupBy("_id").agg(F.count("*").alias("n_hits"))
-    totals = probed.groupBy("_id").agg(
-        F.count("_g").alias("n_grams")
+    # r6: per-doc gram totals are a row-local array size — the r5 plan
+    # re-ran the whole explode + sketch probe a second time just to
+    # count grams (guide §1.2: don't compute things you throw away)
+    totals = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.size(F.array_distinct(ngrams_expr(n, text_col))).alias("_n"),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_n").alias("n_grams"))
     )
     return (
         totals.join(hits, "_id", "left_outer")

@@ -235,6 +235,14 @@ def exact_substring_spans(
         F.xxhash64("_w").alias("_h1"),
         F.xxhash64(F.lit(1), "_w").alias("_h2"),
     )
+    # r6 single-expansion guarantee (guide §2.4 — share one exchange):
+    # both consumers of the fingerprints (the duplicate-count aggregation
+    # and the occurrence join) hang off ONE explicit repartition by the
+    # fingerprint, so the k-token window materialization (the expensive
+    # array_join/slice Generate) runs exactly once and its 28-byte rows
+    # shuffle exactly once; the r5 plan re-expanded every window a second
+    # time on the join's probe side.
+    keyed = keyed.repartition(F.col("_h1"), F.col("_h2"))
     grp = keyed.groupBy("_h1", "_h2").agg(
         F.count("*").alias("_n"),
         F.min(F.struct("_id", "_pos")).alias("_first"),

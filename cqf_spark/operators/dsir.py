@@ -28,14 +28,14 @@ corpus is probed SCAN-LOCALLY — both counts come back from one select
 with no join and no shuffle of the gram stream; the only exchange is the
 per-document aggregation, which partial-aggregates map-side.  The
 normalization scalars cost NOTHING extra: T and R are the sketches' own
-``sum_of_counts`` metadata (qf_get_sum_of_counts, src/gqf.c:2134+) and V
+``sum_of_counts`` metadata (qf_get_sum_of_counts, src/gqf.c:2173) and V
 is the ``ndistinct`` of their union merge (qf_merge, src/gqf.c:2432) —
 the §2.4/§2.6 surface doing real work, no third scan of either corpus.
 Past broadcastable sketch sizes the probes become
 ``ShardedCqf.count_join`` exactly as in ngram_lm_scores (lm_quality.py),
 with T/R/V from the sharded metadata sums (sharded.py).
 
-Reference parity: the probe is qf_count_key_value (src/gqf.c:2112) —
+Reference parity: the probe is qf_count_key_value (src/gqf.c:2018) —
 the counting filter's raison d'être vs a Bloom filter is precisely that
 this returns COUNTS, which is what an importance ratio needs.
 """

@@ -21,7 +21,7 @@ Exactness: with the gate configs the CQF stores the full hash
 (key_bits-wide quotient+remainder), so counts are exact unless two
 distinct grams collide in the 48-bit hash space (~n^2/2^49 — the same
 discipline every oracle-matched multiplicity query here already relies
-on).  Reference: qf_count_key_value (src/gqf.c:2112) as the LM lookup.
+on).  Reference: qf_count_key_value (src/gqf.c:2018) as the LM lookup.
 """
 
 from __future__ import annotations

@@ -212,7 +212,8 @@ def q_sketch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cqf_sum_of_counts`` / ``cqf_ndistinct_partkey`` /
     ``cqf_magnitude_partkey`` gate rows into one query (the driver's
     correctness gate records at most 50 queries; see __spark_entry__)."""
-    sketch = cqf_aggregate(load(spark, sf_dir, "lineitem"), "l_partkey", INT_CONFIG)
+    counted = counted_keys(load(spark, sf_dir, "lineitem"), "l_partkey")
+    sketch = cqf_aggregate(counted, "l_partkey", INT_CONFIG, count_col="__cnt")
     return spark.createDataFrame(
         [(sketch.sum_of_counts, sketch.num_distinct, sketch.magnitude())],
         "n long, ndistinct long, magnitude long",
@@ -300,10 +301,17 @@ def q_set_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "view" in sketches
         else 0
     )
-    rows = [("intersect_user", int(u)) for u in users] + [
-        ("inner_product", int(ip))
-    ]
-    return spark.createDataFrame(rows, "kind string, val long")
+    import pandas as pd
+
+    # Arrow path (createDataFrame from pandas) — the row-tuple path
+    # pickles each row and cost ~1 s for 15k rows at sf1.0 (guide §6)
+    pdf = pd.DataFrame(
+        {
+            "kind": ["intersect_user"] * len(users) + ["inner_product"],
+            "val": pd.Series(users + [int(ip)], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(pdf, "kind string, val long")
 
 
 def q_merge_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,10 +339,10 @@ def q_distributed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts after full.subtract(deletes) equal a build of the surviving
     rows."""
     li = load(spark, sf_dir, "lineitem")
-    full = cqf_aggregate(li, "l_suppkey", INT_CONFIG)
-    dels = cqf_aggregate(
-        li.where(F.col("l_linenumber") > 3), "l_suppkey", INT_CONFIG
-    )
+    cf = counted_keys(li, "l_suppkey")
+    cd = counted_keys(li.where(F.col("l_linenumber") > 3), "l_suppkey")
+    full = cqf_aggregate(cf, "l_suppkey", INT_CONFIG, count_col="__cnt")
+    dels = cqf_aggregate(cd, "l_suppkey", INT_CONFIG, count_col="__cnt")
     remaining = full.subtract(dels)
     probes = (
         li.where(F.col("l_linenumber") <= 3).select("l_suppkey").distinct()
@@ -391,11 +399,19 @@ def q_items_from_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     none_cfg = CqfConfig(key_bits=32, hash_mode=HashMode.NONE, seed=0)
     li = load(spark, sf_dir, "lineitem")
-    sketch = cqf_aggregate(li, "l_partkey", none_cfg)
+    counted = counted_keys(li, "l_partkey")
+    sketch = cqf_aggregate(counted, "l_partkey", none_cfg, count_col="__cnt")
     k0 = 1000
     hashes, counts = sketch.items_from(k0)
-    rows = [(int(h), int(c)) for h, c in zip(hashes.tolist(), counts.tolist())]
-    return spark.createDataFrame(rows, "l_partkey long, approx_count long")
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "l_partkey": hashes.astype("int64"),
+            "approx_count": counts.astype("int64"),
+        }
+    )
+    return spark.createDataFrame(pdf, "l_partkey long, approx_count long")
 
 
 def q_point_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +425,8 @@ def q_point_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins qf_reset: a reset copy holds zero elements.
     """
     li = load(spark, sf_dir, "lineitem")
-    sketch = cqf_aggregate(li, "l_suppkey", INT_CONFIG)
+    counted = counted_keys(li, "l_suppkey")
+    sketch = cqf_aggregate(counted, "l_suppkey", INT_CONFIG, count_col="__cnt")
     mutated = sketch.copy()
     mutated = mutated.set_count(1, 777)
     mutated = mutated.remove(
@@ -417,7 +434,7 @@ def q_point_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mutated = mutated.delete_key_value(3)
     reset_n = sketch.copy().reset().nelts
-    probes = li.select("l_suppkey").distinct()
+    probes = counted.select("l_suppkey")
     return probes.select(
         "l_suppkey",
         count_udf(spark, sketch)("l_suppkey").alias("orig_count"),
@@ -453,8 +470,11 @@ def q_sharded_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sharded import ShardedCqf
 
     li = load(spark, sf_dir, "lineitem")
-    sk = ShardedCqf.aggregate(li, "l_partkey", INT_CONFIG, n_shards=16)
-    probes = li.select("l_partkey").distinct()
+    counted = counted_keys(li, "l_partkey")
+    sk = ShardedCqf.aggregate(
+        counted, "l_partkey", INT_CONFIG, n_shards=16, count_col="__cnt"
+    )
+    probes = counted.select("l_partkey")
     return sk.count_join(probes, "l_partkey")
 
 
@@ -469,10 +489,18 @@ def q_sharded_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sharded import ShardedCqf
 
     ev = load(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click")
-    views = ev.where(F.col("event_type") == "view")
-    a = ShardedCqf.aggregate(clicks, "user_id", INT_CONFIG, n_shards=16)
-    b = ShardedCqf.aggregate(views, "user_id", INT_CONFIG, n_shards=16)
+    clicks = counted_keys(
+        ev.where(F.col("event_type") == "click"), "user_id"
+    )
+    views = counted_keys(
+        ev.where(F.col("event_type") == "view"), "user_id"
+    )
+    a = ShardedCqf.aggregate(
+        clicks, "user_id", INT_CONFIG, n_shards=16, count_col="__cnt"
+    )
+    b = ShardedCqf.aggregate(
+        views, "user_id", INT_CONFIG, n_shards=16, count_col="__cnt"
+    )
     ip = a.inner_product(b)
     inter = a.intersect(b)
     return spark.createDataFrame(
@@ -492,7 +520,10 @@ def q_sharded_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sharded import ShardedCqf
 
     li = load(spark, sf_dir, "lineitem")
-    sk = ShardedCqf.aggregate(li, "l_partkey", INT_CONFIG, n_shards=16)
+    counted = counted_keys(li, "l_partkey")
+    sk = ShardedCqf.aggregate(
+        counted, "l_partkey", INT_CONFIG, n_shards=16, count_col="__cnt"
+    )
     return sk.heavy_hitters_df(25).select(
         F.col("key").alias("l_partkey"), F.col("count").alias("cnt")
     )
@@ -510,11 +541,11 @@ def q_unique_index_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .aggregator import unique_index_udf
 
     li = load(spark, sf_dir, "lineitem")
-    sketch = cqf_aggregate(li, "l_partkey", INT_CONFIG)
+    counted = counted_keys(li, "l_partkey")
+    sketch = cqf_aggregate(counted, "l_partkey", INT_CONFIG, count_col="__cnt")
     uidx = unique_index_udf(spark, sketch)
     present = (
-        li.select("l_partkey")
-        .distinct()
+        counted.select("l_partkey")
         .select(uidx("l_partkey").alias("idx"))
         .agg(
             F.count("*").alias("n_keys"),

@@ -262,6 +262,26 @@ def test_exact_substring_exchange_carries_no_window_text(spark, sf_dir):
         assert "_w" not in sb, sb  # the window string column never rides
 
 
+def test_exact_substring_single_window_expansion(spark, sf_dir):
+    """r6 single-expansion guarantee (VERDICT r5 #6): both consumers of
+    the window fingerprints hang off ONE repartition by (h1, h2), so at
+    runtime AQE reuses that shuffle and the expensive k-token window
+    Generate materializes exactly once — the executed adaptive plan must
+    contain a ReusedExchange."""
+    from cqf_spark.operators.dedup import exact_substring_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = exact_substring_spans(docs, k=8)
+    df.collect()  # AQE reuse is a runtime decision; execute first
+    final = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in final, final
+    assert "ReusedExchange" in final, final
+
+
 def test_lm_quality_probe_below_single_exchange(spark, sf_dir):
     """The LM probe must run scan-side: grams explode, Arrow-probe, and
     PARTIAL-aggregate before the plan's only Exchange — the shuffle
