@@ -231,6 +231,43 @@ def decode_runs(
         e = np.empty(0, dtype=np.int64)
         return e, e64, e64, e
 
+    # r6 fast path for FEW, LONG runs (e.g. NONE-mode identity hashing
+    # packs dense keys into a handful of runs): the vectorized loop below
+    # decodes ONE counter per alive run per iteration, so its whole-array
+    # numpy overhead is paid per counter once few runs remain — measured
+    # ~30 us/counter, i.e. ~1 s for a single 20k-counter run.  When the
+    # average run is long, a scalar walk with the spec-mirror
+    # ``decode_counter`` (bit-exact by definition — it IS the reference
+    # mirror the vectorized path is tested against) is ~10x faster.  The
+    # many-short-runs case (every hashed mode at <=95% load) keeps the
+    # vectorized path, where hundreds of runs amortize each iteration.
+    total_run_slots = int((run_ends - run_starts + 1).sum())
+    if total_run_slots > 64 * nruns:
+        sl = slots.tolist()
+        s_run: list[int] = []
+        s_rem: list[int] = []
+        s_cnt: list[int] = []
+        s_pos: list[int] = []
+        for ri in range(nruns):
+            i, rend = int(run_starts[ri]), int(run_ends[ri])
+            while i <= rend:
+                rem, cnt, last = decode_counter(sl, i, rend, bits_per_slot)
+                s_run.append(ri)
+                s_rem.append(rem)
+                s_cnt.append(cnt)
+                s_pos.append(i)
+                i = last + 1
+            if max_entries is not None and len(s_rem) > max_entries:
+                raise RuntimeError(
+                    "decode_runs exceeded max_entries — corrupt sketch?"
+                )
+        return (
+            np.asarray(s_run, dtype=np.int64),
+            np.asarray(s_rem, dtype=np.uint64),
+            np.asarray(s_cnt, dtype=np.uint64),
+            np.asarray(s_pos, dtype=np.int64),
+        )
+
     out_run: list[np.ndarray] = []
     out_rem: list[np.ndarray] = []
     out_cnt: list[np.ndarray] = []

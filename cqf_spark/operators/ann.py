@@ -411,7 +411,15 @@ def ivf_topk(
     )
     cent_rows = cent.collect()  # n_cells rows — tiny by construction
     if assign_via_udf is None:
-        assign_via_udf = len(cent_rows) > 256
+        # r6: the broadcast-matmul engine wins at EVERY measured cell
+        # count, not just past the old >256 plan-size cutoff — at 16
+        # cells x 64 dims the codegen engine took 7x longer end to end
+        # (the O(n_cells*dim) literal expression tree pays both plan
+        # construction and per-row interpreted HOF evaluation), so auto
+        # now always picks the UDF engine; pass ``assign_via_udf=False``
+        # explicitly to force the codegen twin (kept for parity tests
+        # and zero-Python deployments)
+        assign_via_udf = True
     c = with_unit_vectors(corpus, vec_col).select(
         F.col(id_col), F.col("_unit").alias("cv")
     )

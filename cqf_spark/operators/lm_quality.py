@@ -82,7 +82,11 @@ def ngram_lm_scores(
             "_c", F.coalesce("_c", F.lit(0))
         )
     else:
-        sketch = cqf_aggregate(grams, "_g", config)
+        # r6: exact (gram, count) pre-aggregation before the build
+        # (guide §2.3) — bit-identical LM sketch, Python sees one row per
+        # distinct gram instead of the reference's whole gram stream
+        pre = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("__cnt"))
+        sketch = cqf_aggregate(pre, "_g", config, count_col="__cnt")
         counted = doc_grams.withColumn(
             "_c", count_udf(spark, sketch)(F.col("_g"))
         )

@@ -64,26 +64,40 @@ def q_bigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pages per host (parse_url on the synthesized urls) counted by CQF."""
-    pages = _pages(spark, sf_dir)
+    """Pages per host (parse_url on the synthesized urls) counted by CQF.
+
+    r6: hosts derive from the synthesized ``url`` alone, so the stream no
+    longer routes through the html->text extraction ``mapInPandas`` —
+    opaque Python stages defeat column pruning (guide §4.1), and the r5
+    plan ran the full extraction (twice: build + probe) for a column it
+    never consumed.  ``counted_keys`` then makes it a single pass."""
+    from ..aggregator import ensure_parallelism
+    from ..queries import counted_keys
+
+    pages = ensure_parallelism(synth_webtext(spark, sf_dir).select("url"))
     hosts = url_host_stream(pages)
-    sketch = cqf_aggregate(hosts, "host", NGRAM_CONFIG)
-    return hosts.distinct().select(
+    counted = counted_keys(hosts, "host")
+    sketch = cqf_aggregate(counted, "host", NGRAM_CONFIG, count_col="__cnt")
+    return counted.select(
         "host", count_udf(spark, sketch)("host").alias("approx_count")
     )
 
 
 def q_pages_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages per epoch-day from warc_ts, sketch-counted (keys = day index,
-    tz-independent via unix seconds)."""
-    pages = _pages(spark, sf_dir)
+    tz-independent via unix seconds).  Same r6 shape as
+    :func:`q_url_host_counts`: no extraction for a synthesized column,
+    one ``counted_keys`` pass."""
+    from ..aggregator import ensure_parallelism
+    from ..queries import INT_CONFIG, counted_keys
+
+    pages = ensure_parallelism(synth_webtext(spark, sf_dir).select("warc_ts"))
     days = pages.select(
         F.floor(F.unix_timestamp("warc_ts") / 86400).alias("epoch_day")
     )
-    from ..queries import INT_CONFIG
-
-    sketch = cqf_aggregate(days, "epoch_day", INT_CONFIG)
-    return days.distinct().select(
+    counted = counted_keys(days, "epoch_day")
+    sketch = cqf_aggregate(counted, "epoch_day", INT_CONFIG, count_col="__cnt")
+    return counted.select(
         "epoch_day", count_udf(spark, sketch)("epoch_day").alias("approx_count")
     )
 
@@ -111,7 +125,10 @@ def q_url_trigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform over a sequence of substring offsets — no Python, no
     UDF); the sketch is the only Python stage.  At 100 TB the gram
     stream never shuffles by key: partition-local builds, blob merge."""
-    pages = synth_webtext(spark, sf_dir).select("url")
+    from ..aggregator import ensure_parallelism
+    from ..queries import counted_keys
+
+    pages = ensure_parallelism(synth_webtext(spark, sf_dir).select("url"))
     grams = pages.select(
         F.explode(
             F.expr(
@@ -120,8 +137,9 @@ def q_url_trigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ngram")
     )
-    sketch = cqf_aggregate(grams, "ngram", NGRAM_CONFIG)
-    return grams.distinct().select(
+    counted = counted_keys(grams, "ngram")
+    sketch = cqf_aggregate(counted, "ngram", NGRAM_CONFIG, count_col="__cnt")
+    return counted.select(
         "ngram", count_udf(spark, sketch)("ngram").alias("approx_count")
     )
 

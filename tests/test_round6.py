@@ -93,3 +93,31 @@ def test_strip_boilerplate_explicit_n_docs_honored(spark):
     # may be stripped
     got = strip_boilerplate(docs, min_doc_frac=0.5, n_docs=400).toPandas()
     assert (got["n_dropped"] == 0).all()
+
+
+def test_decode_runs_scalar_fast_path_bit_exact():
+    """The few-long-runs scalar fast path must emit exactly what the
+    vectorized per-counter loop emits (same arrays, same order) — forced
+    by building one dense single-run layout (fast path) and re-decoding
+    the same slots with run shapes that keep the vectorized path."""
+    import numpy as np
+
+    from cqf_spark.functions.counter import decode_runs, encode_counters
+
+    rng = np.random.default_rng(7)
+    rems = np.sort(rng.choice(2**17, 400, replace=False)).astype(np.uint64)
+    cnts = rng.integers(1, 9, rems.size).astype(np.uint64)
+    flat, lengths = encode_counters(rems, cnts, 17)
+    slots = flat.astype(np.uint64)
+    start = np.array([0], dtype=np.int64)
+    end = np.array([slots.size - 1], dtype=np.int64)
+    # single long run -> scalar fast path fires (slots >> 64*nruns)
+    ri, rr, rc, rp = decode_runs(slots, start, end, 17)
+    assert (rr == rems).all() and (rc == cnts).all()
+    # split the same slot sequence into many short runs at counter
+    # boundaries -> vectorized path; counter decode must agree per piece
+    bounds = np.cumsum(lengths)
+    starts = np.concatenate(([0], bounds[:-1])).astype(np.int64)
+    ends = (bounds - 1).astype(np.int64)
+    ri2, rr2, rc2, rp2 = decode_runs(slots, starts, ends, 17)
+    assert (rr2 == rems).all() and (rc2 == cnts).all()
