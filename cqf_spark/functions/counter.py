@@ -243,19 +243,29 @@ def decode_runs(
     # vectorized path, where hundreds of runs amortize each iteration.
     total_run_slots = int((run_ends - run_starts + 1).sum())
     if total_run_slots > 64 * nruns:
-        sl = slots.tolist()
         s_run: list[int] = []
         s_rem: list[int] = []
         s_cnt: list[int] = []
         s_pos: list[int] = []
         for ri in range(nruns):
-            i, rend = int(run_starts[ri]), int(run_ends[ri])
-            while i <= rend:
-                rem, cnt, last = decode_counter(sl, i, rend, bits_per_slot)
+            s0, rend = int(run_starts[ri]), int(run_ends[ri])
+            # box only this run's span (+1 slot of lookahead — the scalar
+            # decoder reads at most slots[runend+1]), never the whole
+            # backing array: a sparse layout's slots array can be orders
+            # of magnitude larger than its occupied spans
+            seg = slots[s0 : min(rend + 2, slots.size)].tolist()
+            if rend + 2 > slots.size:
+                seg.append(0)  # clamp exactly like the vectorized path
+            rel_end = rend - s0
+            i = 0
+            while i <= rel_end:
+                rem, cnt, last = decode_counter(
+                    seg, i, rel_end, bits_per_slot
+                )
                 s_run.append(ri)
                 s_rem.append(rem)
                 s_cnt.append(cnt)
-                s_pos.append(i)
+                s_pos.append(s0 + i)
                 i = last + 1
             if max_entries is not None and len(s_rem) > max_entries:
                 raise RuntimeError(

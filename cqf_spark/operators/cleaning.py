@@ -156,8 +156,12 @@ def _build_lines_sketch_with_doccount(per_doc: DataFrame, config: CqfConfig):
     pruned = ensure_parallelism(per_doc)
 
     def build(batches: Iterator) -> Iterator:
-        import pyarrow as pa
+        import time as _time
 
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        t0 = _time.time()
         n_docs = 0
         chunks: list[np.ndarray] = []
         for rb in batches:
@@ -175,9 +179,12 @@ def _build_lines_sketch_with_doccount(per_doc: DataFrame, config: CqfConfig):
         )
         sk = Cqf.from_hashes(config, hashes)
         blob = sk.to_bytes()
+        ctx = TaskContext.get()
         yield pa.RecordBatch.from_pydict(
             {
-                "part_id": pa.array([0], pa.int32()),
+                "part_id": pa.array(
+                    [ctx.partitionId() if ctx else -1], pa.int32()
+                ),
                 "sketch": pa.array([blob], pa.binary()),
                 "nelts": pa.array([sk.nelts], pa.int64()),
                 "ndistinct": pa.array([sk.ndistinct], pa.int64()),
@@ -185,7 +192,7 @@ def _build_lines_sketch_with_doccount(per_doc: DataFrame, config: CqfConfig):
                 "qbits": pa.array([sk.geom.qbits], pa.int32()),
                 "load": pa.array([sk.load_factor], pa.float64()),
                 "n_rows": pa.array([n_docs], pa.int64()),
-                "build_s": pa.array([0.0], pa.float64()),
+                "build_s": pa.array([_time.time() - t0], pa.float64()),
                 "blob_hash": pa.array([fingerprint_bytes(blob)], pa.int64()),
             }
         )

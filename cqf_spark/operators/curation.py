@@ -36,6 +36,8 @@ from .dedup import minhash_dedup_pairs
 from .text_queries import (
     LANG_PROFILES,
     alpha_ratio_expr,
+    lang_argmax_expr,
+    lang_score_exprs,
     n_tokens_expr,
 )
 
@@ -80,27 +82,19 @@ def curate_corpus(
     # repartition moves only (doc_id, text) once and is a no-op at real
     # scale where the scan already has thousands of splits
     docs = ensure_parallelism(docs.select("doc_id", "text"))
-    toks_l = F.split(F.lower(F.col("text")), " ")
-
-    def _score(prof: tuple[str, ...]):
-        arr = F.array(*[F.lit(w) for w in prof])
-        return F.size(F.filter(toks_l, lambda x: F.array_contains(arr, x)))
-
     scored = docs.select(
         "doc_id",
         "text",
         n_tokens_expr("text").alias("n_tokens"),
         alpha_ratio_expr("text").alias("alpha_ratio"),
         *[
-            _score(prof).alias(f"_s_{lg}")
-            for lg, prof in LANG_PROFILES.items()
+            expr.alias(f"_s_{lg}")
+            for lg, expr in lang_score_exprs("text").items()
         ],
     )
-    score_cols = [F.col(f"_s_{lg}") for lg in LANG_PROFILES]
-    best = F.greatest(*score_cols)
-    pred = F.when(best == 0, F.lit("und"))
-    for lg, c in zip(LANG_PROFILES, score_cols):
-        pred = pred.when(c == best, F.lit(lg))
+    pred = lang_argmax_expr(
+        {lg: F.col(f"_s_{lg}") for lg in LANG_PROFILES}
+    )
     # persist the compact per-doc feature frame (one row per doc — the
     # scale-safe cache unit, same discipline as the webtext page cache):
     # the dedup stage consumes (doc_id, text) for signatures + shingle

@@ -439,7 +439,10 @@ def minhash_dedup_pairs(
         .union(cand.select(F.col("j").alias(id_col)))
         .distinct()
     )
-    docs_c = docs.join(F.broadcast(cand_ids), id_col, "semi")
+    # no broadcast hint: candidate ids are corpus-proportional at real
+    # crawl dup rates (20-40%), so AQE must pick the strategy from the
+    # runtime size — the same discipline as curation's drop-set anti-join
+    docs_c = docs.join(cand_ids, id_col, "semi")
     sh = shingle_df(docs_c, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("i"), F.col("g"))

@@ -147,23 +147,41 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language ID — stopword-profile hit rate, pure codegen expressions
 # --------------------------------------------------------------------- #
 
-def lang_pred_expr(text_col: str = "text"):
-    """The language-ID prediction as a bare Column expression, so callers
-    composing multiple text features (e.g. the curation pipeline) can put
-    it in the SAME ``select`` over one scan instead of joining
-    :func:`lang_id`'s output back on doc_id."""
+def lang_score_exprs(text_col: str = "text") -> dict:
+    """Per-language stopword-hit counts as bare Columns, one per
+    LANG_PROFILES entry — the shared building block of
+    :func:`lang_pred_expr` and the curation pipeline (which materializes
+    them as columns first so the argmax CASE evaluates each score once
+    per row)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
 
     def _score(prof: list[str]):
         arr = F.array(*[F.lit(w) for w in prof])
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
-    scores = {lg: _score(prof) for lg, prof in LANG_PROFILES.items()}
+    return {lg: _score(prof) for lg, prof in LANG_PROFILES.items()}
+
+
+def lang_argmax_expr(scores: dict):
+    """'und' when every score is 0, else the FIRST profile (LANG_PROFILES
+    order) reaching the max — the tie-break every oracle mirrors.
+    ``scores`` maps language -> Column (raw expressions or column refs)."""
     best = F.greatest(*scores.values())
     pred = F.when(best == 0, F.lit("und"))
     for lg in LANG_PROFILES:  # first profile reaching the max wins ties
         pred = pred.when(scores[lg] == best, F.lit(lg))
     return pred
+
+
+def lang_pred_expr(text_col: str = "text"):
+    """The language-ID prediction as a bare Column expression, so callers
+    composing multiple text features can put it in the SAME ``select``
+    over one scan instead of joining :func:`lang_id`'s output back on
+    doc_id.  NOTE: as a single expression the CASE re-evaluates the
+    score subtrees per branch; hot paths should materialize
+    :func:`lang_score_exprs` as columns and argmax over the refs (see
+    curation.curate_corpus)."""
+    return lang_argmax_expr(lang_score_exprs(text_col))
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

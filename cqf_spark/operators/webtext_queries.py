@@ -44,17 +44,17 @@ def q_extract_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequencies over extracted text via a distributed CQF.
 
-    The COMPACT extracted pages are cached (one text row per page — the
-    scale-safe cache unit; caching the exploded gram stream itself would
-    pin every bigram string in executor memory, VERDICT r01).  r6: the
-    gram stream partially aggregates map-side in JVM codegen
+    r6: the gram stream partially aggregates map-side in JVM codegen
     (``counted_keys``) so extraction + explode run ONCE and the Python
     build sees one row per distinct bigram; the cached counted frame is
     also the probe set — the r5 plan consumed the gram stream twice
-    (build + distinct)."""
+    (build + distinct) and therefore cached the compact extracted pages,
+    a cache that would now have exactly one consumer and is dropped
+    (caching the exploded gram stream itself would still pin every
+    bigram string in executor memory, VERDICT r01)."""
     from ..queries import counted_keys
 
-    pages = _pages(spark, sf_dir).select("extracted_text").cache()
+    pages = _pages(spark, sf_dir).select("extracted_text")
     grams = ngram_stream(pages, 2)
     counted = counted_keys(grams, "ngram")
     sketch = cqf_aggregate(counted, "ngram", NGRAM_CONFIG, count_col="__cnt")
@@ -123,8 +123,11 @@ def q_url_trigram_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL character-trigram frequencies via CQF — the north star's "url
     n-gram stream".  Gram explosion is a pure codegen expression
     (transform over a sequence of substring offsets — no Python, no
-    UDF); the sketch is the only Python stage.  At 100 TB the gram
-    stream never shuffles by key: partition-local builds, blob merge."""
+    UDF); the sketch is the only Python stage.  r6: the gram stream
+    partially aggregates map-side (``counted_keys``) before the build —
+    the exchange carries at most distinct-trigrams-per-task (URL
+    trigrams are a small, heavy-head alphabet, so the combine collapses
+    the stream), and the cached frame doubles as the probe set."""
     from ..aggregator import ensure_parallelism
     from ..queries import counted_keys
 
