@@ -443,7 +443,11 @@ def minhash_dedup_pairs(
     # crawl dup rates (20-40%), so AQE must pick the strategy from the
     # runtime size — the same discipline as curation's drop-set anti-join
     docs_c = docs.join(cand_ids, id_col, "semi")
-    sh = shingle_df(docs_c, id_col, text_col, shingle_n)
+    # persist the candidate shingles: FOUR subtrees consume them (both
+    # verify-join sides + both size lookups), so without this the
+    # semi-join + explode re-ran four times; the frame is proportional
+    # to the candidate set (the duplicate sliver), not the corpus
+    sh = shingle_df(docs_c, id_col, text_col, shingle_n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("i"), F.col("g"))
     b = sh.select(F.col("id").alias("j"), F.col("g"))
