@@ -320,15 +320,37 @@ def q_set_algebra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_merge_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """qf_merge as multiset UNION ALL (src/gqf.c:2432): counts from two
-    disjoint builds add up to the whole-table counts."""
+    disjoint builds add up to the whole-table counts.
+
+    r6.2: ONE scan + exchange counts BOTH sides at the (key, side) grain
+    (the r6.0 shape still scanned lineitem once per side), and the two
+    independent build jobs run overlapped from a 2-thread pool (guide
+    §2.6 — the second job back-fills the first's task tail).  Each
+    side's (key, count) rows are identical to its own groupBy, so both
+    sketches — and the merged result — are bit-identical."""
+    from concurrent.futures import ThreadPoolExecutor
+
     li = load(spark, sf_dir, "lineitem")
-    lo = counted_keys(li.where(F.col("l_linenumber") <= 3), "l_suppkey")
-    hi = counted_keys(li.where(F.col("l_linenumber") > 3), "l_suppkey")
-    a = cqf_aggregate(lo, "l_suppkey", INT_CONFIG, count_col="__cnt")
-    b = cqf_aggregate(hi, "l_suppkey", INT_CONFIG, count_col="__cnt")
+    sides = (
+        li.groupBy(
+            "l_suppkey", (F.col("l_linenumber") <= 3).alias("__lo")
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
+    )
+    lo = sides.where(F.col("__lo")).select("l_suppkey", "__cnt")
+    hi = sides.where(~F.col("__lo")).select("l_suppkey", "__cnt")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            cqf_aggregate, lo, "l_suppkey", INT_CONFIG, count_col="__cnt"
+        )
+        fb = pool.submit(
+            cqf_aggregate, hi, "l_suppkey", INT_CONFIG, count_col="__cnt"
+        )
+        a, b = fa.result(), fb.result()
     merged = a.merge(b)
-    # probe keys = union of the two counted frames' key sets — the same
-    # set the r5 plan paid a third full lineitem scan + distinct for
+    # probe keys = union of the two sides' key sets — the same set the
+    # r5 plan paid a third full lineitem scan + distinct for
     probes = (
         lo.select("l_suppkey").union(hi.select("l_suppkey")).distinct()
     )
@@ -342,15 +364,36 @@ def q_distributed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges with subtraction (qf_remove batched, src/gqf.c:1982-1998) —
     counts after full.subtract(deletes) equal a build of the surviving
     rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # r6.2: ONE scan + exchange at the (key, survives) grain feeds the
+    # full build (per-key count summed over both sides — identical
+    # values, bit-identical sketch), the delete build, and the probe key
+    # set (the r6.0 shape paid three lineitem scans); the two builds run
+    # overlapped (guide §2.6)
     li = load(spark, sf_dir, "lineitem")
-    cf = counted_keys(li, "l_suppkey")
-    cd = counted_keys(li.where(F.col("l_linenumber") > 3), "l_suppkey")
-    full = cqf_aggregate(cf, "l_suppkey", INT_CONFIG, count_col="__cnt")
-    dels = cqf_aggregate(cd, "l_suppkey", INT_CONFIG, count_col="__cnt")
-    remaining = full.subtract(dels)
-    probes = (
-        li.where(F.col("l_linenumber") <= 3).select("l_suppkey").distinct()
+    sides = (
+        li.groupBy(
+            "l_suppkey", (F.col("l_linenumber") > 3).alias("__del")
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
     )
+    cf = sides.groupBy("l_suppkey").agg(F.sum("__cnt").alias("__cnt"))
+    keep = sides.where(~F.col("__del")).select("l_suppkey", "__cnt")
+    cd = sides.where(F.col("__del")).select("l_suppkey", "__cnt")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_full = pool.submit(
+            cqf_aggregate, cf, "l_suppkey", INT_CONFIG, count_col="__cnt"
+        )
+        f_dels = pool.submit(
+            cqf_aggregate, cd, "l_suppkey", INT_CONFIG, count_col="__cnt"
+        )
+        full, dels = f_full.result(), f_dels.result()
+    remaining = full.subtract(dels)
+    # probe set == distinct keys with any l_linenumber <= 3 row — exactly
+    # the keep side's key set (already one row per key, no extra distinct)
+    probes = keep.select("l_suppkey")
     return probes.select(
         "l_suppkey", count_udf(spark, remaining)("l_suppkey").alias("approx_count")
     )
@@ -492,12 +535,21 @@ def q_sharded_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-larger-filter-counts rule)."""
     from .sharded import ShardedCqf
 
+    # r6.2: ONE scan + exchange counts both streams at the (user, type)
+    # grain; each side's (key, count) rows — and so each sharded build —
+    # are identical to its own filter-then-group frame
     ev = load(spark, sf_dir, "events")
-    clicks = counted_keys(
-        ev.where(F.col("event_type") == "click"), "user_id"
+    sides = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
     )
-    views = counted_keys(
-        ev.where(F.col("event_type") == "view"), "user_id"
+    clicks = sides.where(F.col("event_type") == "click").select(
+        "user_id", "__cnt"
+    )
+    views = sides.where(F.col("event_type") == "view").select(
+        "user_id", "__cnt"
     )
     a = ShardedCqf.aggregate(
         clicks, "user_id", INT_CONFIG, n_shards=16, count_col="__cnt"

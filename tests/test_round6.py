@@ -44,6 +44,38 @@ def test_counted_keys_probe_set_matches_distinct(spark, sf_dir):
     assert got == want
 
 
+def test_two_sided_counted_build_bit_identical(spark, sf_dir):
+    """r6.2: q_merge_union_counts / q_distributed_delete derive both
+    side frames from ONE (key, side) grouped scan.  Each side's counted
+    frame — and therefore each side's sketch and the merged/subtracted
+    result — must be bit-identical to the per-side filter-then-group
+    build it replaced."""
+    from cqf_spark.aggregator import cqf_aggregate
+    from cqf_spark.queries import INT_CONFIG, counted_keys, load
+
+    li = load(spark, sf_dir, "lineitem")
+    sides = (
+        li.groupBy("l_suppkey", (F.col("l_linenumber") <= 3).alias("__lo"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .persist()
+    )
+    lo = sides.where(F.col("__lo")).select("l_suppkey", "__cnt")
+    hi = sides.where(~F.col("__lo")).select("l_suppkey", "__cnt")
+    full = sides.groupBy("l_suppkey").agg(F.sum("__cnt").alias("__cnt"))
+
+    old_lo = counted_keys(li.where(F.col("l_linenumber") <= 3), "l_suppkey")
+    old_hi = counted_keys(li.where(F.col("l_linenumber") > 3), "l_suppkey")
+    old_full = counted_keys(li, "l_suppkey")
+    try:
+        for new, old in ((lo, old_lo), (hi, old_hi), (full, old_full)):
+            a = cqf_aggregate(new, "l_suppkey", INT_CONFIG, count_col="__cnt")
+            b = cqf_aggregate(old, "l_suppkey", INT_CONFIG, count_col="__cnt")
+            assert a.to_bytes() == b.to_bytes()
+    finally:
+        for df in (sides, old_lo, old_hi, old_full):
+            df.unpersist()
+
+
 def _bp_corpus(spark):
     """Small corpus with one line frequent enough to strip at frac=0.5."""
     rows = []
